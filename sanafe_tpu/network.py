@@ -1,0 +1,416 @@
+"""Spiking-network graph (host side, unmapped SNN).
+
+Mirrors the reference's ``SpikingNetwork`` / ``NeuronGroup`` / ``Neuron`` /
+``Connection`` hierarchy (``src/network.hpp``, ``src/network.cpp``):
+string-keyed attribute maps, group-level hyperedge generators (dense / sparse /
+conv2d), and neuron→core mapping that stamps a global ``mapping_order``.
+
+Lowering formulas are parity-critical and mirror the reference exactly:
+
+- conv2d: zero padding; ``out_w = (in_w - k_w) / s_w + 1``; neuron indexing is
+  channels-first flattened; filter attribute lists are flattened
+  ``[y][x][c_in][c_out]`` (``src/network.cpp:377-528``).
+- dense: attribute lists index as ``src_index * n_dest + dest_index``
+  (``src/network.cpp:567-605``).
+- sparse: attribute lists index by *edge position* in ``source_target_pairs``
+  and every list length must equal the pair count (``src/network.cpp:229-276``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+from .arch import Architecture, CoreAddress, CoreConfiguration
+from .attributes import Attribute, is_reserved_neuron_attribute
+
+
+@dataclass
+class NeuronConfiguration:
+    """Neuron attribute template (src/network.hpp:30-38)."""
+
+    model_attributes: dict[str, Attribute] = field(default_factory=dict)
+    soma_hw_name: Optional[str] = None
+    default_synapse_hw_name: Optional[str] = None
+    dendrite_hw_name: Optional[str] = None
+    log_spikes: Optional[bool] = None
+    log_potential: Optional[bool] = None
+
+    def copy(self) -> "NeuronConfiguration":
+        return NeuronConfiguration(
+            model_attributes=dict(self.model_attributes),
+            soma_hw_name=self.soma_hw_name,
+            default_synapse_hw_name=self.default_synapse_hw_name,
+            dendrite_hw_name=self.dendrite_hw_name,
+            log_spikes=self.log_spikes,
+            log_potential=self.log_potential,
+        )
+
+
+@dataclass
+class NeuronAddress:
+    group_name: str
+    neuron_offset: Optional[int] = None
+
+    def info(self) -> str:
+        if self.neuron_offset is None:
+            return self.group_name
+        return f"{self.group_name}.{self.neuron_offset}"
+
+
+@dataclass
+class Conv2DParameters:
+    input_width: int = 0
+    input_height: int = 0
+    input_channels: int = 0
+    kernel_width: int = 0
+    kernel_height: int = 0
+    kernel_count: int = 1
+    stride_width: int = 1
+    stride_height: int = 1
+
+
+class Connection:
+    """A single synaptic edge (src/network.hpp:180-194)."""
+
+    __slots__ = (
+        "synapse_attributes",
+        "dendrite_attributes",
+        "synapse_hw_name",
+        "pre_neuron",
+        "post_neuron",
+        "id",
+    )
+
+    def __init__(self, edge_id: int):
+        self.id = edge_id
+        self.synapse_attributes: dict[str, Attribute] = {}
+        self.dendrite_attributes: dict[str, Attribute] = {}
+        self.synapse_hw_name: str = ""
+        self.pre_neuron = NeuronAddress("")
+        self.post_neuron = NeuronAddress("")
+
+    def info(self) -> str:
+        return (
+            f"sanafe::Connection(pre_neuron={self.pre_neuron.info()} "
+            f"post_neuron={self.post_neuron.info()})"
+        )
+
+
+class Neuron:
+    __slots__ = (
+        "edges_out",
+        "model_attributes",
+        "soma_hw_name",
+        "default_synapse_hw_name",
+        "dendrite_hw_name",
+        "parent_group_name",
+        "parent_net",
+        "offset",
+        "core_address",
+        "mapping_order",
+        "log_spikes",
+        "log_potential",
+    )
+
+    def __init__(
+        self,
+        neuron_offset: int,
+        net: "SpikingNetwork",
+        parent_group_name: str,
+        config: NeuronConfiguration,
+    ):
+        self.edges_out: list[Connection] = []
+        self.model_attributes: dict[str, Attribute] = {}
+        self.soma_hw_name = ""
+        self.default_synapse_hw_name = ""
+        self.dendrite_hw_name = ""
+        self.parent_group_name = parent_group_name
+        self.parent_net = net
+        self.offset = neuron_offset
+        self.core_address: Optional[CoreAddress] = None
+        self.mapping_order = 0
+        self.log_spikes = False
+        self.log_potential = False
+        self.set_attributes(config)
+
+    def get_id(self) -> int:
+        return self.offset
+
+    def set_attributes(self, config: NeuronConfiguration) -> None:
+        """Apply a configuration template (src/network.cpp:94-128)."""
+        if config.default_synapse_hw_name is not None:
+            self.default_synapse_hw_name = config.default_synapse_hw_name
+        if config.dendrite_hw_name is not None:
+            self.dendrite_hw_name = config.dendrite_hw_name
+        if config.soma_hw_name is not None:
+            self.soma_hw_name = config.soma_hw_name
+        if config.log_spikes is not None:
+            self.log_spikes = config.log_spikes
+        if config.log_potential is not None:
+            self.log_potential = config.log_potential
+        for key, attribute in config.model_attributes.items():
+            if is_reserved_neuron_attribute(key):
+                raise ValueError(
+                    f"Reserved neuron attribute {key!r} cannot be used as a "
+                    "model attribute. Pass it as a direct argument instead."
+                )
+            self.model_attributes[key] = attribute
+
+    def connect_to_neuron(self, dest: "Neuron") -> int:
+        """Create an outgoing edge to ``dest`` (src/network.cpp:175-192)."""
+        edge = Connection(len(self.edges_out))
+        edge.pre_neuron = NeuronAddress(self.parent_group_name, self.offset)
+        edge.post_neuron = NeuronAddress(dest.parent_group_name, dest.offset)
+        edge.synapse_hw_name = dest.default_synapse_hw_name
+        self.edges_out.append(edge)
+        return edge.id
+
+    def map_to_core(self, core: CoreConfiguration) -> None:
+        """Stamp mapping order; actual hardware binding happens at chip
+        load time (src/network.cpp:85-92)."""
+        self.core_address = core.address
+        self.mapping_order = self.parent_net.update_mapping_count()
+
+    def info(self) -> str:
+        return (
+            f"sanafe::Neuron(nid={self.parent_group_name}.{self.offset} "
+            f"edges_out={len(self.edges_out)})"
+        )
+
+
+class NeuronGroup:
+    def __init__(
+        self,
+        group_name: str,
+        net: "SpikingNetwork",
+        neuron_count: int,
+        default_config: NeuronConfiguration | None = None,
+    ):
+        self.name = group_name
+        self.default_neuron_config = default_config or NeuronConfiguration()
+        self.neurons = [
+            Neuron(offset, net, group_name, self.default_neuron_config)
+            for offset in range(neuron_count)
+        ]
+
+    def get_name(self) -> str:
+        return self.name
+
+    def __len__(self) -> int:
+        return len(self.neurons)
+
+    def __getitem__(self, offset: int) -> Neuron:
+        return self.neurons[offset]
+
+    def __iter__(self):
+        return iter(self.neurons)
+
+    def info(self) -> str:
+        return f"sanafe::NeuronGroup(gid={self.name} neurons={len(self.neurons)})"
+
+    # --- hyperedge generators ---
+    def connect_neurons_dense(
+        self,
+        dest_group: "NeuronGroup",
+        attribute_lists: dict[str, list[Attribute]],
+    ) -> None:
+        """All-to-all connect; lists index src*n_dest+dest
+        (src/network.cpp:567-605)."""
+        n_dest = len(dest_group.neurons)
+        for source_index, source in enumerate(self.neurons):
+            for dest_index, dest in enumerate(dest_group.neurons):
+                list_index = source_index * n_dest + dest_index
+                con = source.edges_out[source.connect_to_neuron(dest)]
+                _apply_edge_attribute_lists(con, attribute_lists, list_index)
+
+    def connect_neurons_sparse(
+        self,
+        dest_group: "NeuronGroup",
+        attribute_lists: dict[str, list[Attribute]],
+        source_dest_id_pairs: list[tuple[int, int]],
+    ) -> None:
+        """Pairwise connect; lists index by edge position and must match the
+        pair count exactly (src/network.cpp:229-276)."""
+        n_pairs = len(source_dest_id_pairs)
+        for key, value_list in attribute_lists.items():
+            if len(value_list) != n_pairs:
+                raise ValueError(
+                    "Length of attribute list != number of defined edges. "
+                    f"({len(value_list)}!={n_pairs})"
+                )
+        for edge_idx, (source_id, dest_id) in enumerate(source_dest_id_pairs):
+            if source_id >= len(self.neurons):
+                raise ValueError(f"src id is out of range: {source_id}")
+            if dest_id >= len(dest_group.neurons):
+                raise ValueError(f"dest nid is out of range: {dest_id}")
+            source = self.neurons[source_id]
+            dest = dest_group.neurons[dest_id]
+            con = source.edges_out[source.connect_to_neuron(dest)]
+            # Sparse forwards each listed attribute to both synapse and
+            # dendrite maps, keeping original forwarding flags
+            # (src/network.cpp:256-273).
+            attributes = {k: v[edge_idx] for k, v in attribute_lists.items()}
+            con.synapse_attributes = dict(attributes)
+            con.dendrite_attributes = dict(attributes)
+
+    def connect_neurons_conv2d(
+        self,
+        dest_group: "NeuronGroup",
+        attribute_lists: dict[str, list[Attribute]],
+        convolution: Conv2DParameters,
+    ) -> None:
+        """Lower a 2D convolution to individual edges
+        (src/network.cpp:278-528)."""
+        c = convolution
+        for name, value in (
+            ("input_width", c.input_width),
+            ("input_height", c.input_height),
+            ("input_channels", c.input_channels),
+            ("kernel_width", c.kernel_width),
+            ("kernel_height", c.kernel_height),
+            ("kernel_count", c.kernel_count),
+            ("stride_width", c.stride_width),
+            ("stride_height", c.stride_height),
+        ):
+            if value <= 0:
+                raise ValueError(
+                    f"Conv2D parameter {name!r} must be > 0 (got {value})"
+                )
+        if c.kernel_width > c.input_width or c.kernel_height > c.input_height:
+            raise ValueError(
+                f"Conv2D kernel ({c.kernel_width}x{c.kernel_height}) larger "
+                f"than input ({c.input_width}x{c.input_height}) with zero "
+                "padding."
+            )
+
+        out_w = (c.input_width - c.kernel_width) // c.stride_width + 1
+        out_h = (c.input_height - c.kernel_height) // c.stride_height + 1
+        out_c = c.kernel_count
+        expected_input = c.input_channels * c.input_width * c.input_height
+        expected_output = out_c * out_w * out_h
+        if expected_input != len(self.neurons):
+            raise ValueError(
+                f"Expected {expected_input} neurons in source group for "
+                f"convolution but there are {len(self.neurons)} neurons."
+            )
+        if expected_output != len(dest_group.neurons):
+            raise ValueError(
+                f"Expected {expected_output} neurons in dest group for "
+                f"convolution but there are {len(dest_group.neurons)} neurons."
+            )
+
+        for c_out in range(out_c):
+            for y_out in range(out_h):
+                for x_out in range(out_w):
+                    dest_idx = c_out * out_w * out_h + y_out * out_w + x_out
+                    dest = dest_group.neurons[dest_idx]
+                    for c_in in range(c.input_channels):
+                        for y_f in range(c.kernel_height):
+                            y_pos = y_out * c.stride_height + y_f
+                            if not (0 <= y_pos < c.input_height):
+                                continue
+                            for x_f in range(c.kernel_width):
+                                x_pos = x_out * c.stride_width + x_f
+                                if not (0 <= x_pos < c.input_width):
+                                    continue
+                                src_idx = (
+                                    c_in * c.input_width * c.input_height
+                                    + y_pos * c.input_width
+                                    + x_pos
+                                )
+                                # Filter laid out [y][x][c_in][c_out]
+                                filter_idx = (
+                                    y_f
+                                    * c.kernel_width
+                                    * c.input_channels
+                                    * c.kernel_count
+                                    + x_f * c.input_channels * c.kernel_count
+                                    + c_in * c.kernel_count
+                                    + c_out
+                                )
+                                source = self.neurons[src_idx]
+                                con = source.edges_out[
+                                    source.connect_to_neuron(dest)
+                                ]
+                                _apply_edge_attribute_lists(
+                                    con, attribute_lists, filter_idx
+                                )
+
+
+def _apply_edge_attribute_lists(
+    con: Connection,
+    attribute_lists: dict[str, list[Attribute]],
+    index: int,
+) -> None:
+    """Pick entry ``index`` of each per-edge attribute list and forward it by
+    scope (src/network.cpp:530-560)."""
+    for key, attribute_list in attribute_lists.items():
+        if len(attribute_list) <= index:
+            raise ValueError(
+                f"Not enough entries defined for attribute "
+                f"({len(attribute_list)}): {key}"
+            )
+        attribute = attribute_list[index]
+        if attribute.forward_to_synapse:
+            con.synapse_attributes[key] = attribute
+        if attribute.forward_to_dendrite:
+            con.dendrite_attributes[key] = attribute
+
+
+class SpikingNetwork:
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.groups: dict[str, NeuronGroup] = {}
+        self._mapping_count = 0
+
+    def create_neuron_group(
+        self,
+        name: str,
+        neuron_count: int,
+        default_config: NeuronConfiguration | None = None,
+    ) -> NeuronGroup:
+        if name in self.groups:
+            raise ValueError(f"Group: {name} already exists in SNN.")
+        group = NeuronGroup(name, self, neuron_count, default_config)
+        self.groups[name] = group
+        return group
+
+    def update_mapping_count(self) -> int:
+        self._mapping_count += 1
+        return self._mapping_count
+
+    def info(self) -> str:
+        return f"sanafe::Network(groups={len(self.groups)})"
+
+    def __getitem__(self, name: str) -> NeuronGroup:
+        return self.groups[name]
+
+    def save(self, path: str | Path, use_netlist_format: bool = False) -> None:
+        """Serialize network + mappings back to YAML or netlist
+        (src/network.hpp:165-178)."""
+        path = Path(path)
+        if use_netlist_format:
+            from .netlist import write_netlist
+
+            write_netlist(path, self)
+        else:
+            from .yaml_snn import write_network_yaml
+
+            write_network_yaml(path, self)
+
+
+def load_net(
+    path: str | Path, arch: Architecture, use_netlist_format: bool = False
+) -> SpikingNetwork:
+    """Load an SNN + mapping description (src/network.cpp:194-222)."""
+    path = Path(path)
+    with path.open("r") as stream:
+        if use_netlist_format:
+            from .netlist import parse_netlist_file
+
+            return parse_netlist_file(stream, arch)
+        from .yaml_snn import parse_network_file
+
+        return parse_network_file(stream, arch)
