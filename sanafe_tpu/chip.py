@@ -1,0 +1,550 @@
+"""SpikingChip: the user-facing simulator object.
+
+Host orchestration equivalent of the reference's ``SpikingChip``
+(``src/chip.hpp:56-210``, ``src/pymodule.cpp:549-706``): owns the compiled
+chip program, runs the jitted timestep scan on device in chunks, streams
+per-chunk outputs back for trace writing and RunData accumulation, and runs
+the chosen timing model (simple on device; detailed as the host event sweep
+in ``ops/timing.py``; ``cycle`` maps to detailed with a warning since the
+external Booksim2 NoC simulator is not part of this rebuild).
+
+``sim()`` keyword surface matches the reference Python module
+(``src/pymodule.cpp:1198-1209``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+
+from .arch import Architecture
+from .compile import CompiledChip, compile_chip
+from .network import SpikingNetwork
+from .ops.step import DeviceProgram, make_device_program
+from .ops.timing import (
+    MessageRecord,
+    build_timestep_messages,
+    schedule_timestep_detailed,
+    schedule_timestep_simple_messages,
+)
+from .trace import (
+    MessageTrace,
+    NeuronAddress,
+    NeuronTrace,
+    PerfTrace,
+    PotentialTrace,
+    SpikeTrace,
+    TraceSink,
+    fmt_e,
+    fmt_g,
+    message_to_dict,
+    write_message_header,
+    write_message_row,
+    write_neuron_trace_header,
+    write_perf_header,
+    write_potential_header,
+    write_spike_header,
+)
+
+TIMING_MODELS = ("simple", "detailed", "cycle")
+HEARTBEAT_TIMESTEPS = 100  # src/chip.hpp:38
+DEFAULT_CHUNK = 256
+
+
+@dataclass
+class RunData:
+    """Accumulated results of one sim() call (src/chip.hpp RunData)."""
+
+    timestep_start: int = 0
+    timesteps_executed: int = 0
+    total_energy: float = 0.0
+    synapse_energy: float = 0.0
+    dendrite_energy: float = 0.0
+    soma_energy: float = 0.0
+    network_energy: float = 0.0
+    sim_time: float = 0.0
+    spikes: int = 0
+    packets_sent: int = 0
+    neurons_updated: int = 0
+    neurons_fired: int = 0
+
+    def to_dict(self) -> dict:
+        """Matches run_data_to_dict (src/pymodule.cpp:268-288)."""
+        return {
+            "timestep_start": self.timestep_start,
+            "timesteps_executed": self.timesteps_executed,
+            "energy": {
+                "total": self.total_energy,
+                "synapse": self.synapse_energy,
+                "dendrite": self.dendrite_energy,
+                "soma": self.soma_energy,
+                "network": self.network_energy,
+            },
+            "sim_time": self.sim_time,
+            "spikes": self.spikes,
+            "packets_sent": self.packets_sent,
+            "neurons_updated": self.neurons_updated,
+            "neurons_fired": self.neurons_fired,
+        }
+
+
+@dataclass
+class _TraceState:
+    sink: TraceSink
+    memory: Any = None
+
+
+class SpikingChip:
+    def __init__(self, arch: Architecture):
+        self.arch = arch
+        self.compiled: Optional[CompiledChip] = None
+        self.total_timesteps = 0
+        self.total_energy = 0.0
+        self.synapse_energy = 0.0
+        self.dendrite_energy = 0.0
+        self.soma_energy = 0.0
+        self.network_energy = 0.0
+        self.total_sim_time = 0.0
+        self.total_spikes = 0
+        self.total_messages_sent = 0
+        self.total_neurons_updated = 0
+        self.total_neurons_fired = 0
+        # simulator wall-time breakdown (run_summary.yaml wall_time section)
+        self.setup_wall = 0.0
+        self.neuron_processing_wall = 0.0
+        self.message_processing_wall = 0.0
+        self.scheduler_wall = 0.0
+        self.energy_stats_wall = 0.0
+
+        self._device_state = None
+        self._programs: dict[tuple, DeviceProgram] = {}
+        self._scan_cache: dict[tuple, Any] = {}
+        self._traces_open = False
+        self._trace_states: dict[str, _TraceState] = {}
+
+    # --- loading -------------------------------------------------------------
+    def load(self, net: SpikingNetwork, overwrite: bool = False) -> None:
+        """Map an SNN onto the chip (src/chip.cpp:129-138). ``overwrite``
+        reprograms from scratch; augmenting an already-loaded chip is not yet
+        supported and raises."""
+        if self.compiled is not None and not overwrite:
+            raise NotImplementedError(
+                "Augmenting an already-loaded chip (overwrite=False after a "
+                "previous load) is not supported yet; pass overwrite=True."
+            )
+        start = time.perf_counter()
+        self.compiled = compile_chip(self.arch, net)
+        self._programs.clear()
+        self._scan_cache.clear()
+        self._device_state = None
+        self.setup_wall += time.perf_counter() - start
+
+    @property
+    def mapped_neuron_groups(self) -> dict[str, list]:
+        if self.compiled is None:
+            return {}
+        groups: dict[str, list] = {}
+        for name, slots in self.compiled.groups.items():
+            groups[name] = [self.compiled.neurons[s] for s in slots]
+        return groups
+
+    # --- simulation ----------------------------------------------------------
+    def sim(
+        self,
+        timesteps: int = 1,
+        timing_model: str = "detailed",
+        processing_threads: int = 0,
+        scheduler_threads: int = 0,
+        spike_trace: Any = None,
+        potential_trace: Any = None,
+        neuron_trace: Any = None,
+        perf_trace: Any = None,
+        message_trace: Any = None,
+        write_trace_headers: bool = True,
+        heartbeat: int = HEARTBEAT_TIMESTEPS,
+        chunk: int = DEFAULT_CHUNK,
+    ) -> dict:
+        if self.compiled is None:
+            raise RuntimeError("No network loaded; call load() first")
+        if timing_model not in TIMING_MODELS:
+            raise ValueError(f"Timing model not recognized: {timing_model}")
+        if timing_model == "cycle":
+            print(
+                "Warning: cycle-accurate (Booksim2) timing is not available "
+                "in the TPU rebuild; falling back to the detailed model.",
+                file=sys.stderr,
+            )
+            timing_model = "detailed"
+        # processing_threads / scheduler_threads are accepted for API parity;
+        # the device program is already fully parallel.
+        del processing_threads, scheduler_threads
+
+        rd = RunData(timestep_start=self.total_timesteps + 1)
+        rd.timesteps_executed = timesteps
+
+        first_sim = not self._traces_open
+        if first_sim:
+            self._open_traces(
+                spike_trace,
+                potential_trace,
+                neuron_trace,
+                perf_trace,
+                message_trace,
+                write_trace_headers,
+            )
+            self._traces_open = True
+
+        traces = self._trace_states
+        record_spikes = traces["spike"].sink.enabled
+        record_potentials = traces["potential"].sink.enabled
+        record_u = traces["neuron"].sink.enabled
+        need_messages = traces["message"].sink.enabled
+        need_detailed = timing_model == "detailed"
+        record_fired_axons = need_messages or need_detailed
+
+        prog_key = (
+            record_fired_axons,
+            record_potentials,
+            record_spikes,
+            record_u,
+        )
+        prog = self._programs.get(prog_key)
+        if prog is None:
+            start = time.perf_counter()
+            prog = make_device_program(
+                self.compiled,
+                record_fired_axons=record_fired_axons,
+                record_potentials=record_potentials,
+                record_spikes=record_spikes,
+                record_u=record_u,
+            )
+            self._programs[prog_key] = prog
+            self.setup_wall += time.perf_counter() - start
+        if self._device_state is None:
+            self._device_state = prog.init_state()
+
+        remaining = timesteps
+        t0 = self.total_timesteps + 1
+        while remaining > 0:
+            this_chunk = min(chunk, remaining)
+            scan_key = (prog_key, this_chunk)
+            run_chunk = self._scan_cache.get(scan_key)
+            if run_chunk is None:
+                run_chunk = prog.make_scan(this_chunk)
+                self._scan_cache[scan_key] = run_chunk
+            device_start = time.perf_counter()
+            self._device_state, outputs = run_chunk(
+                self._device_state, np.int64(t0)
+            )
+            outputs = {k: np.asarray(v) for k, v in outputs.items()}
+            self.neuron_processing_wall += time.perf_counter() - device_start
+
+            self._process_chunk_outputs(
+                outputs, t0, this_chunk, timing_model, rd, heartbeat
+            )
+            t0 += this_chunk
+            remaining -= this_chunk
+            self.total_timesteps += this_chunk
+
+        # accumulate chip totals
+        self.total_energy += rd.total_energy
+        self.synapse_energy += rd.synapse_energy
+        self.dendrite_energy += rd.dendrite_energy
+        self.soma_energy += rd.soma_energy
+        self.network_energy += rd.network_energy
+        self.total_sim_time += rd.sim_time
+        self.total_spikes += rd.spikes
+        self.total_neurons_updated += rd.neurons_updated
+        self.total_neurons_fired += rd.neurons_fired
+
+        result = rd.to_dict()
+        result["spike_trace"] = traces["spike"].memory
+        result["potential_trace"] = traces["potential"].memory
+        result["neuron_trace"] = traces["neuron"].memory
+        result["perf_trace"] = traces["perf"].memory
+        result["message_trace"] = traces["message"].memory
+        return result
+
+    def _open_traces(
+        self,
+        spike_trace,
+        potential_trace,
+        neuron_trace,
+        perf_trace,
+        message_trace,
+        write_trace_headers: bool,
+    ) -> None:
+        c = self.compiled
+        states = {
+            "spike": _TraceState(TraceSink(spike_trace)),
+            "potential": _TraceState(TraceSink(potential_trace)),
+            "neuron": _TraceState(TraceSink(neuron_trace)),
+            "perf": _TraceState(TraceSink(perf_trace)),
+            "message": _TraceState(TraceSink(message_trace)),
+        }
+        if states["spike"].sink.in_memory:
+            states["spike"].memory = SpikeTrace()
+        if states["potential"].sink.in_memory:
+            states["potential"].memory = PotentialTrace()
+        if states["neuron"].sink.in_memory:
+            states["neuron"].memory = NeuronTrace(
+                data={"u": []} if len(c.u_log_labels) else {}
+            )
+        if states["perf"].sink.in_memory:
+            from .trace import PERF_COLUMNS
+
+            states["perf"].memory = PerfTrace(
+                data={col: [] for col in PERF_COLUMNS}
+            )
+        if states["message"].sink.in_memory:
+            states["message"].memory = MessageTrace()
+        if write_trace_headers:
+            if states["spike"].sink.stream:
+                write_spike_header(states["spike"].sink)
+            if states["potential"].sink.stream:
+                write_potential_header(
+                    states["potential"].sink, c.potential_log_labels
+                )
+            if states["neuron"].sink.stream:
+                write_neuron_trace_header(
+                    states["neuron"].sink, c.u_log_labels, ("u",)
+                )
+            if states["perf"].sink.stream:
+                write_perf_header(states["perf"].sink)
+            if states["message"].sink.stream:
+                write_message_header(states["message"].sink)
+        self._trace_states = states
+
+    def _process_chunk_outputs(
+        self,
+        outputs: dict[str, np.ndarray],
+        t0: int,
+        length: int,
+        timing_model: str,
+        rd: RunData,
+        heartbeat: int,
+    ) -> None:
+        c = self.compiled
+        traces = self._trace_states
+        prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
+
+        energy_start = time.perf_counter()
+        rd.spikes += int(outputs["spikes"].sum())
+        rd.packets_sent += int(outputs["packets"].sum())
+        self.total_messages_sent += int(outputs["packets"].sum())
+        rd.neurons_updated += int(outputs["neurons_updated"].sum())
+        rd.neurons_fired += int(outputs["neurons_fired"].sum())
+        rd.synapse_energy += float(outputs["synapse_energy"].sum())
+        rd.dendrite_energy += float(outputs["dendrite_energy"].sum())
+        rd.soma_energy += float(outputs["soma_energy"].sum())
+        rd.network_energy += float(outputs["network_energy"].sum())
+        rd.total_energy += float(outputs["total_energy"].sum())
+        self.energy_stats_wall += time.perf_counter() - energy_start
+
+        # timing model
+        sim_times = np.asarray(outputs["sim_time"], dtype=np.float64)
+        messages_by_step: list[Optional[list[list[MessageRecord]]]] = [
+            None
+        ] * length
+        need_messages = traces["message"].sink.enabled
+        if timing_model == "detailed" or need_messages:
+            sched_start = time.perf_counter()
+            fired_axons = outputs["fired_axons"]
+            gen_latency = outputs["neuron_gen_latency"]
+            detailed_times = np.zeros(length)
+            for i in range(length):
+                msgs, self._next_mid = build_timestep_messages(
+                    c,
+                    fired_axons[i],
+                    gen_latency[i],
+                    t0 + i,
+                    getattr(self, "_next_mid", 0),
+                )
+                if timing_model == "detailed":
+                    detailed_times[i] = schedule_timestep_detailed(
+                        c, msgs, prog_sync
+                    )
+                else:
+                    schedule_timestep_simple_messages(msgs)
+                messages_by_step[i] = msgs
+            if timing_model == "detailed":
+                sim_times = detailed_times
+            self.scheduler_wall += time.perf_counter() - sched_start
+        rd.sim_time += float(sim_times.sum())
+
+        # --- trace writing ---
+        spike_state = traces["spike"]
+        if spike_state.sink.enabled:
+            spikes_log = outputs["spike_log"]
+            for i in range(length):
+                t = t0 + i
+                fired_rows = np.nonzero(spikes_log[i])[0]
+                if spike_state.sink.stream:
+                    for j in fired_rows:
+                        group, offset = c.spike_log_labels[j]
+                        spike_state.sink.write(f"{group}.{offset},{t}\n")
+                if spike_state.memory is not None:
+                    spike_state.memory.data.append(
+                        [
+                            NeuronAddress(*c.spike_log_labels[j])
+                            for j in fired_rows
+                        ]
+                    )
+        potential_state = traces["potential"]
+        if potential_state.sink.enabled:
+            pot_log = outputs["potential_log"]
+            for i in range(length):
+                t = t0 + i
+                if potential_state.sink.stream and pot_log.shape[1] > 0:
+                    row = ",".join(fmt_g(v) for v in pot_log[i])
+                    potential_state.sink.write(f"{t},{row},\n")
+                elif potential_state.sink.stream:
+                    potential_state.sink.write(f"{t},")
+                if potential_state.memory is not None:
+                    potential_state.memory.data.append(
+                        [float(v) for v in pot_log[i]]
+                    )
+        neuron_state = traces["neuron"]
+        if neuron_state.sink.enabled:
+            u_log = outputs["u_log"]
+            for i in range(length):
+                t = t0 + i
+                if neuron_state.sink.stream and u_log.shape[1] > 0:
+                    row = ",".join(fmt_g(v) for v in u_log[i])
+                    neuron_state.sink.write(f"{t},{row},\n")
+                elif neuron_state.sink.stream:
+                    neuron_state.sink.write(f"{t},")
+                if neuron_state.memory is not None:
+                    neuron_state.memory.data.setdefault("u", []).append(
+                        [float(v) for v in u_log[i]]
+                    )
+        perf_state = traces["perf"]
+        if perf_state.sink.enabled:
+            for i in range(length):
+                t = t0 + i
+                values = {
+                    "timestep": t,
+                    "fired": int(outputs["neurons_fired"][i]),
+                    "updated": int(outputs["neurons_updated"][i]),
+                    "packets": int(outputs["packets"][i]),
+                    "hops": int(outputs["hops"][i]),
+                    "spikes": int(outputs["spikes"][i]),
+                    "sim_time": float(sim_times[i]),
+                    "synapse_energy": float(outputs["synapse_energy"][i]),
+                    "dendrite_energy": float(outputs["dendrite_energy"][i]),
+                    "soma_energy": float(outputs["soma_energy"][i]),
+                    "network_energy": float(outputs["network_energy"][i]),
+                    "total_energy": float(outputs["total_energy"][i]),
+                }
+                if perf_state.sink.stream:
+                    perf_state.sink.write(
+                        f"{values['timestep']},{values['fired']},"
+                        f"{values['updated']},{values['packets']},"
+                        f"{values['hops']},{values['spikes']},"
+                        f"{fmt_e(values['sim_time'])},"
+                        f"{fmt_e(values['synapse_energy'])},"
+                        f"{fmt_e(values['dendrite_energy'])},"
+                        f"{fmt_e(values['soma_energy'])},"
+                        f"{fmt_e(values['network_energy'])},"
+                        f"{fmt_e(values['total_energy'])}\n"
+                    )
+                if perf_state.memory is not None:
+                    for key, value in values.items():
+                        perf_state.memory.data[key].append(value)
+        message_state = traces["message"]
+        if message_state.sink.enabled:
+            for i in range(length):
+                msgs = messages_by_step[i]
+                flat = [m for q in msgs for m in q]
+                # sort by mid, placeholders last (src/message.cpp:61-90)
+                flat.sort(key=lambda m: (m.placeholder, m.mid))
+                if message_state.sink.stream:
+                    for m in flat:
+                        write_message_row(message_state.sink, m)
+                if message_state.memory is not None:
+                    message_state.memory.data.append(
+                        [message_to_dict(m) for m in flat]
+                    )
+
+        if heartbeat:
+            for t in range(t0, t0 + length):
+                if t % heartbeat == 0:
+                    print(f"*** Time-step {t} ***")
+
+    # --- lifecycle -----------------------------------------------------------
+    def reset(self) -> None:
+        """Clear all model state and pipeline buffers (src/chip.cpp:576-600).
+
+        Matches the reference: potentials/input currents zero (not the
+        initial 'potential' attribute), accumulated energies/counters kept.
+        """
+        if self.compiled is None:
+            return
+        prog = next(iter(self._programs.values()), None)
+        if prog is None:
+            prog = make_device_program(self.compiled)
+            self._programs[
+                (False, False, False, False)
+            ] = prog
+        state = prog.init_state()
+        state["potential"] = state["potential"] * 0
+        self._device_state = state
+
+    def get_power(self) -> float:
+        """total energy / total simulated time (src/chip.cpp:607-621)."""
+        if self.total_sim_time > 0.0:
+            return self.total_energy / self.total_sim_time
+        return 0.0
+
+    def sim_output_run_summary(
+        self, output_dir: str | Path, run_data: dict | RunData
+    ) -> None:
+        text = self.format_run_summary(run_data)
+        print(text, end="")
+        path = Path(output_dir) / "run_summary.yaml"
+        path.write_text(text)
+
+    def format_run_summary(self, run_data: dict | RunData) -> str:
+        """YAML run summary (src/chip.cpp:873-899)."""
+        if isinstance(run_data, RunData):
+            rd = run_data.to_dict()
+        else:
+            rd = run_data
+        energy = rd["energy"]
+        lines = [
+            "build_git_version: 'sanafe-tpu'",
+            f"timesteps_executed: {rd['timesteps_executed']}",
+            f"total_spikes: {rd['spikes']}",
+            f"total_messages_sent: {rd['packets_sent']}",
+            f"total_neurons_updated: {rd['neurons_updated']}",
+            f"total_neurons_fired: {rd['neurons_fired']}",
+            f"sim_time: {fmt_e(rd['sim_time'])}",
+            "energy:",
+            f"  synapse:{fmt_e(energy['synapse'])}",
+            f"  dendrite:{fmt_e(energy['dendrite'])}",
+            f"  soma:{fmt_e(energy['soma'])}",
+            f"  network: {fmt_e(energy['network'])}",
+            f"  total: {fmt_e(energy['total'])}",
+            "wall_time:",
+            f"  neuron_processing: {self.neuron_processing_wall:f}",
+            f"  message_processing: {self.message_processing_wall:f}",
+            f"  scheduler: {self.scheduler_wall:f}",
+            f"  setup: {self.setup_wall:f}",
+            f"  energy: {self.energy_stats_wall:f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+    def close(self) -> None:
+        for state in self._trace_states.values():
+            state.sink.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,992 @@
+"""Compiler: (Architecture, mapped SpikingNetwork) → dense device arrays.
+
+This is the TPU-native replacement for the reference's ``SpikingChip``
+construction + ``load()`` path (``src/chip.cpp:61-104,129-408``,
+``src/core.cpp:116-184``): instead of per-object pipelines, everything is
+lowered once into a structure-of-arrays ``CompiledChip`` that the jitted
+timestep kernel (``ops/step.py``) consumes.
+
+Ordering parity (affects trace ordering and timing):
+
+- Neurons map in global ``mapping_order`` (src/chip.cpp:186-234); each core's
+  slot offsets follow arrival order, neuron ids are global mapping ordinals.
+- Connections map iterating groups in sorted-name order, then neurons by
+  offset, then edges in creation order (src/chip.cpp:334-380).
+- Axons allocate per (pre-neuron, dest-core) pair, walking cores in id order
+  and neurons in within-core order (src/chip.cpp:382-408,1263-1391); edges of
+  an axon keep the pre-neuron's ``edges_out`` order. The reference iterates a
+  ``std::set<Core*>`` for a neuron's destination cores; we use ascending core
+  id, the deterministic equivalent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from .arch import Architecture, BufferPosition, NeuronResetMode, parse_reset_mode
+from .attributes import Attribute
+from .models import (
+    ModelSpec,
+    SOMA_MODEL_INPUT,
+    SOMA_MODEL_LIF,
+    SOMA_MODEL_TRUENORTH,
+    DENDRITE_MODEL_ACCUMULATOR,
+    DENDRITE_MODEL_ACCUMULATOR_DELAY,
+    DENDRITE_MODEL_MULTITAP,
+    ACCUMULATOR_MAX_DELAY,
+    get_model,
+)
+from .network import SpikingNetwork
+
+
+class HardwareMappingError(RuntimeError):
+    """Raised when an SNN cannot be mapped to the architecture
+    (src/mapped.hpp:30-38)."""
+
+
+@dataclass
+class HardwareUnit:
+    """One instantiated pipeline unit inside a core (host-side metadata)."""
+
+    name: str
+    core_id: int
+    spec: ModelSpec
+    unit_id: int  # global index across the chip
+    implements_synapse: bool
+    implements_dendrite: bool
+    implements_soma: bool
+    log_energy: bool = False
+    log_latency: bool = False
+    update_every_timestep: bool = False
+    plugin_path: Optional[str] = None
+    model_attributes: dict[str, Attribute] = field(default_factory=dict)
+    # Default costs (src/pipeline.cpp:151-266)
+    energy_process_spike: float = 0.0
+    latency_process_spike: float = 0.0
+    energy_update: float = 0.0
+    latency_update: float = 0.0
+    energy_access_neuron: float = 0.0
+    energy_update_neuron: float = 0.0
+    energy_spike_out: float = 0.0
+    latency_access_neuron: float = 0.0
+    latency_update_neuron: float = 0.0
+    latency_spike_out: float = 0.0
+    # Counters filled during mapping
+    neuron_count: int = 0
+    connection_count: int = 0
+    is_used: bool = False
+    # Input-model RNG instance ordering (src/models.hpp:347 instance_counter)
+    input_instance: int = 0
+    # Soma-level hw attributes
+    noise_file: Optional[str] = None
+    noise_bits: int = 7
+
+
+@dataclass
+class CoreInfo:
+    core_id: int
+    tile_id: int
+    offset_within_tile: int
+    name: str
+    buffer_position: BufferPosition
+    max_neurons: int
+    log_energy: bool
+    units: list[HardwareUnit] = field(default_factory=list)
+    # axon in/out metrics (first unit used for routing costs,
+    # src/message.cpp:39-59, src/core.cpp:147)
+    axon_in_names: list[str] = field(default_factory=list)
+    energy_message_in: float = 0.0
+    latency_message_in: float = 0.0
+    axon_out_names: list[str] = field(default_factory=list)
+    energy_message_out: float = 0.0
+    latency_message_out: float = 0.0
+    neuron_slots: list[int] = field(default_factory=list)  # global slot ids
+
+    def find_unit(
+        self,
+        hw_name: str,
+        is_synapse: bool = False,
+        is_dendrite: bool = False,
+        is_soma: bool = False,
+    ) -> HardwareUnit:
+        """Hardware lookup by name + capability with first-available default
+        (src/core.cpp:61-114)."""
+        choose_first = hw_name == ""
+        for unit in self.units:
+            if is_synapse and not unit.implements_synapse:
+                continue
+            if is_dendrite and not unit.implements_dendrite:
+                continue
+            if is_soma and not unit.implements_soma:
+                continue
+            if choose_first or hw_name == unit.name:
+                return unit
+        raise HardwareMappingError(
+            f"Could not find h/w (with name:{hw_name}) that implements "
+            f"synapse:{int(is_synapse)}, dendrite:{int(is_dendrite)}, "
+            f"soma:{int(is_soma)}"
+        )
+
+
+@dataclass
+class NeuronRef:
+    """Host-side record of one mapped neuron."""
+
+    slot: int
+    group_name: str
+    offset: int
+    global_id: int  # mapping ordinal (MappedNeuron::id)
+    core: CoreInfo
+    offset_in_core: int
+    soma_unit: HardwareUnit
+    dendrite_unit: HardwareUnit
+    log_spikes: bool
+    log_potential: bool
+    mapping_order: int
+
+
+def _attr_float(attrs: dict[str, Attribute], *names: str, default: float = 0.0) -> float:
+    for name in names:
+        if name in attrs:
+            return attrs[name].as_float()
+    return default
+
+
+def _extract_unit_defaults(unit: HardwareUnit) -> None:
+    """Pull default energy/latency costs out of the unit's model attributes
+    (src/pipeline.cpp:176-266)."""
+    attrs = unit.model_attributes
+    unit.energy_process_spike = _attr_float(attrs, "energy_process_spike")
+    unit.latency_process_spike = _attr_float(attrs, "latency_process_spike")
+    unit.energy_update = _attr_float(attrs, "energy_update")
+    unit.latency_update = _attr_float(attrs, "latency_update")
+
+    soma_energy_keys = (
+        "energy_access_neuron",
+        "energy_update_neuron",
+        "energy_spike_out",
+    )
+    present = [k for k in soma_energy_keys if k in attrs]
+    if present and len(present) != len(soma_energy_keys):
+        missing = [k for k in soma_energy_keys if k not in attrs]
+        raise ValueError(f"Metric not defined: {missing[0]}")
+    unit.energy_access_neuron = _attr_float(attrs, "energy_access_neuron")
+    unit.energy_update_neuron = _attr_float(attrs, "energy_update_neuron")
+    unit.energy_spike_out = _attr_float(attrs, "energy_spike_out")
+
+    soma_latency_keys = (
+        "latency_access_neuron",
+        "latency_update_neuron",
+        "latency_spike_out",
+    )
+    present = [k for k in soma_latency_keys if k in attrs]
+    if present and len(present) != len(soma_latency_keys):
+        missing = [k for k in soma_latency_keys if k not in attrs]
+        raise ValueError(f"Missing metric: {missing[0]}")
+    unit.latency_access_neuron = _attr_float(attrs, "latency_access_neuron")
+    unit.latency_update_neuron = _attr_float(attrs, "latency_update_neuron")
+    unit.latency_spike_out = _attr_float(attrs, "latency_spike_out")
+
+    if unit.implements_soma:
+        if "noise" in attrs:
+            unit.noise_file = attrs["noise"].as_str()
+        if "noise_bits" in attrs:
+            unit.noise_bits = attrs["noise_bits"].as_int()
+
+
+@dataclass
+class CompiledChip:
+    """Dense, device-ready lowering of one mapped chip."""
+
+    arch: Architecture
+    # counts
+    n_neurons: int = 0
+    n_cores: int = 0
+    n_axons: int = 0
+    n_edges: int = 0
+    mapped_tiles: int = 0
+    mapped_cores: int = 0
+    # host metadata
+    cores: list[CoreInfo] = field(default_factory=list)
+    neurons: list[NeuronRef] = field(default_factory=list)
+    units: list[HardwareUnit] = field(default_factory=list)
+    groups: dict[str, np.ndarray] = field(default_factory=dict)  # name -> slots
+
+    # --- per-neuron arrays (global slot axis, core-major order) ---
+    core_id: np.ndarray = None
+    offset_in_core: np.ndarray = None
+    soma_model: np.ndarray = None
+    soma_unit_id: np.ndarray = None
+    dendrite_model: np.ndarray = None
+    dendrite_unit_id: np.ndarray = None
+    # Per-neuron pipeline-phase membership (from core buffer position)
+    dendrite_in_neuron_phase: np.ndarray = None
+    dendrite_in_message_phase: np.ndarray = None
+    soma_in_message_phase: np.ndarray = None
+    # soma params (union of model params)
+    threshold: np.ndarray = None
+    reverse_threshold: np.ndarray = None
+    reset: np.ndarray = None
+    reverse_reset: np.ndarray = None
+    reset_mode: np.ndarray = None
+    reverse_reset_mode: np.ndarray = None
+    leak_decay: np.ndarray = None
+    input_decay: np.ndarray = None
+    bias: np.ndarray = None
+    leak: np.ndarray = None  # TrueNorth additive leak
+    leak_towards_zero: np.ndarray = None
+    random_range_mask: np.ndarray = None
+    force_update: np.ndarray = None
+    refractory_delay: np.ndarray = None
+    initial_potential: np.ndarray = None
+    log_spikes: np.ndarray = None
+    log_potential: np.ndarray = None
+    log_u: np.ndarray = None
+    # per-neuron soma costs (gathered from units)
+    soma_energy_access: np.ndarray = None
+    soma_energy_update: np.ndarray = None
+    soma_energy_spike: np.ndarray = None
+    soma_lat_access: np.ndarray = None
+    soma_lat_update: np.ndarray = None
+    soma_lat_spike: np.ndarray = None
+    # dendrite per-neuron costs (applied when dendrite in neuron phase)
+    dendrite_energy_update: np.ndarray = None
+    dendrite_lat_update: np.ndarray = None
+    # input-model columns
+    input_train_start: np.ndarray = None
+    input_train_len: np.ndarray = None
+    input_train_stride: np.ndarray = None
+    input_train_rank: np.ndarray = None
+    input_poisson: np.ndarray = None
+    input_rate_interval: np.ndarray = None  # int(1/rate), 0 = disabled
+    input_trains: np.ndarray = None  # flat concatenated spike trains
+    input_unit_instance: np.ndarray = None
+
+    # --- per-axon arrays ---
+    axon_src_slot: np.ndarray = None
+    axon_src_core: np.ndarray = None
+    axon_dest_core: np.ndarray = None
+    axon_dest_tile: np.ndarray = None
+    axon_fanout: np.ndarray = None
+    axon_hops: np.ndarray = None
+    axon_x_hops: np.ndarray = None
+    axon_y_hops: np.ndarray = None
+    axon_east: np.ndarray = None  # direction flags for per-tile counters
+    axon_north: np.ndarray = None
+    axon_min_hop_delay: np.ndarray = None
+    axon_hop_energy: np.ndarray = None
+    axon_energy_in: np.ndarray = None
+    axon_latency_in: np.ndarray = None
+    axon_energy_out: np.ndarray = None
+    axon_latency_out: np.ndarray = None
+    axon_const_processing_latency: np.ndarray = None
+    axon_src_x: np.ndarray = None
+    axon_src_y: np.ndarray = None
+    axon_dest_x: np.ndarray = None
+    axon_dest_y: np.ndarray = None
+    axon_src_core_offset: np.ndarray = None
+    axon_dest_core_offset: np.ndarray = None
+    axon_ordinal_in_neuron: np.ndarray = None
+
+    # --- per-edge arrays (axon-major order) ---
+    edge_src_slot: np.ndarray = None
+    edge_dest_slot: np.ndarray = None
+    edge_axon: np.ndarray = None
+    edge_weight: np.ndarray = None
+    edge_synapse_unit_id: np.ndarray = None
+    edge_synapse_energy: np.ndarray = None
+    edge_synapse_latency: np.ndarray = None
+    edge_delay: np.ndarray = None
+    edge_tap: np.ndarray = None
+    # cost of the message-phase dendrite/soma work per edge
+    edge_dendrite_energy: np.ndarray = None
+    edge_dendrite_latency: np.ndarray = None
+
+    # trace orderings (sorted by group name then offset,
+    # matching sim_trace_record_* iteration; src/chip.cpp:1610-1702)
+    spike_log_slots: np.ndarray = None
+    spike_log_labels: list[tuple[str, int]] = field(default_factory=list)
+    potential_log_slots: np.ndarray = None
+    potential_log_labels: list[tuple[str, int]] = field(default_factory=list)
+    u_log_slots: np.ndarray = None
+    u_log_labels: list[tuple[str, int]] = field(default_factory=list)
+
+    max_delay: int = ACCUMULATOR_MAX_DELAY
+    has_delay_dendrite: bool = False
+    has_multitap: bool = False
+    max_taps: int = 1
+    # multitap per-neuron parameter matrices [N, max_taps]
+    tap_time_constants: np.ndarray = None
+    tap_space_constants: np.ndarray = None
+    n_taps: np.ndarray = None
+
+
+def build_hardware(arch: Architecture) -> list[CoreInfo]:
+    """Instantiate per-core hardware units (src/chip.cpp:61-104)."""
+    cores: list[CoreInfo] = []
+    unit_counter = 0
+    input_instance_counter = 0
+    for tile in arch.tiles:
+        for core_cfg in tile.cores:
+            core = CoreInfo(
+                core_id=core_cfg.address.id,
+                tile_id=tile.id,
+                offset_within_tile=core_cfg.address.offset_within_tile,
+                name=core_cfg.name,
+                buffer_position=core_cfg.pipeline.buffer_position,
+                max_neurons=core_cfg.pipeline.max_neurons_supported,
+                log_energy=core_cfg.pipeline.log_energy,
+            )
+            for axon_in in core_cfg.axon_in:
+                core.axon_in_names.append(axon_in.name)
+            if core_cfg.axon_in:
+                core.energy_message_in = core_cfg.axon_in[0].metrics.energy_message_in
+                core.latency_message_in = core_cfg.axon_in[
+                    0
+                ].metrics.latency_message_in
+            for axon_out in core_cfg.axon_out:
+                core.axon_out_names.append(axon_out.name)
+            if core_cfg.axon_out:
+                core.energy_message_out = core_cfg.axon_out[
+                    0
+                ].metrics.energy_message_out
+                core.latency_message_out = core_cfg.axon_out[
+                    0
+                ].metrics.latency_message_out
+            for unit_cfg in core_cfg.pipeline_hw:
+                spec = get_model(unit_cfg.model_info.name)
+                # check_implemented: arch section flags must be a subset of the
+                # model's capabilities (src/core.cpp:225-227)
+                if unit_cfg.implements_synapse and not spec.implements_synapse:
+                    raise HardwareMappingError(
+                        f"Model {spec.name} does not implement synapse "
+                        f"functionality (unit {unit_cfg.name})"
+                    )
+                if unit_cfg.implements_dendrite and not spec.implements_dendrite:
+                    raise HardwareMappingError(
+                        f"Model {spec.name} does not implement dendrite "
+                        f"functionality (unit {unit_cfg.name})"
+                    )
+                if unit_cfg.implements_soma and not spec.implements_soma:
+                    raise HardwareMappingError(
+                        f"Model {spec.name} does not implement soma "
+                        f"functionality (unit {unit_cfg.name})"
+                    )
+                if (
+                    spec.implements_synapse
+                    and spec.implements_soma
+                    and not spec.implements_dendrite
+                ):
+                    raise HardwareMappingError(
+                        "Invalid pipeline configuration: h/w supports synapse "
+                        "and soma but not dendrite functionality."
+                    )
+                unit = HardwareUnit(
+                    name=unit_cfg.name,
+                    core_id=core.core_id,
+                    spec=spec,
+                    unit_id=unit_counter,
+                    implements_synapse=spec.implements_synapse,
+                    implements_dendrite=spec.implements_dendrite,
+                    implements_soma=spec.implements_soma,
+                    log_energy=unit_cfg.model_info.log_energy,
+                    log_latency=unit_cfg.model_info.log_latency,
+                    update_every_timestep=unit_cfg.model_info.update_every_timestep,
+                    plugin_path=unit_cfg.model_info.plugin_library_path,
+                    model_attributes=unit_cfg.model_info.model_attributes,
+                )
+                unit_counter += 1
+                if spec.soma_model_id == SOMA_MODEL_INPUT:
+                    input_instance_counter += 1
+                    unit.input_instance = input_instance_counter
+                _extract_unit_defaults(unit)
+                core.units.append(unit)
+            cores.append(core)
+    return cores
+
+
+def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
+    compiled = CompiledChip(arch)
+    cores = build_hardware(arch)
+    compiled.cores = cores
+    compiled.n_cores = len(cores)
+    compiled.units = [unit for core in cores for unit in core.units]
+
+    # ---- 1. map neurons (global mapping order) ----
+    all_neurons = [
+        neuron for group in net.groups.values() for neuron in group.neurons
+    ]
+    for neuron in all_neurons:
+        if neuron.core_address is None:
+            raise HardwareMappingError(
+                f"Neuron: {neuron.parent_group_name}.{neuron.offset} not mapped."
+            )
+    all_neurons.sort(key=lambda n: n.mapping_order)
+
+    per_core_neurons: dict[int, list] = {core.core_id: [] for core in cores}
+    refs_in_map_order: list[NeuronRef] = []
+    for global_id, neuron in enumerate(all_neurons):
+        core = cores[neuron.core_address.id]
+        if len(per_core_neurons[core.core_id]) >= core.max_neurons:
+            raise HardwareMappingError(
+                f"Error: Exceeded maximum neurons per core "
+                f"({core.max_neurons})."
+            )
+        if not core.units:
+            raise HardwareMappingError(
+                f"No pipeline units defined for cid:{core.core_id}"
+            )
+        dendrite_unit = core.find_unit(neuron.dendrite_hw_name, is_dendrite=True)
+        soma_unit = core.find_unit(neuron.soma_hw_name, is_soma=True)
+        if not core.axon_out_names:
+            raise HardwareMappingError(
+                f"No axon out units defined for cid:{core.core_id}"
+            )
+        ref = NeuronRef(
+            slot=-1,
+            group_name=neuron.parent_group_name,
+            offset=neuron.offset,
+            global_id=global_id,
+            core=core,
+            offset_in_core=len(per_core_neurons[core.core_id]),
+            soma_unit=soma_unit,
+            dendrite_unit=dendrite_unit,
+            log_spikes=neuron.log_spikes,
+            log_potential=neuron.log_potential,
+            mapping_order=neuron.mapping_order,
+        )
+        dendrite_unit.neuron_count += 1
+        dendrite_unit.is_used = True
+        if soma_unit is not dendrite_unit:
+            soma_unit.neuron_count += 1
+        soma_unit.is_used = True
+        per_core_neurons[core.core_id].append((neuron, ref))
+        refs_in_map_order.append(ref)
+
+    # Assign global slots core-major (the device layout)
+    slot = 0
+    neuron_lookup: dict[tuple[str, int], NeuronRef] = {}
+    compiled.neurons = []
+    for core in cores:
+        for neuron, ref in per_core_neurons[core.core_id]:
+            ref.slot = slot
+            core.neuron_slots.append(slot)
+            compiled.neurons.append(ref)
+            neuron_lookup[(ref.group_name, ref.offset)] = ref
+            slot += 1
+    n = slot
+    compiled.n_neurons = n
+
+    compiled.mapped_cores = sum(
+        1 for core in cores if core.neuron_slots
+    )
+    used_tiles = {core.tile_id for core in cores if core.neuron_slots}
+    compiled.mapped_tiles = len(used_tiles)
+
+    # group name -> slots (in offset order)
+    for name, group in net.groups.items():
+        slots = np.array(
+            [neuron_lookup[(name, i)].slot for i in range(len(group.neurons))],
+            dtype=np.int32,
+        )
+        compiled.groups[name] = slots
+
+    # ---- 2. per-neuron parameter arrays ----
+    f64 = np.float64
+    compiled.core_id = np.zeros(n, dtype=np.int32)
+    compiled.offset_in_core = np.zeros(n, dtype=np.int32)
+    compiled.soma_model = np.full(n, -1, dtype=np.int32)
+    compiled.soma_unit_id = np.zeros(n, dtype=np.int32)
+    compiled.dendrite_model = np.full(n, -1, dtype=np.int32)
+    compiled.dendrite_unit_id = np.zeros(n, dtype=np.int32)
+    compiled.dendrite_in_neuron_phase = np.zeros(n, dtype=bool)
+    compiled.dendrite_in_message_phase = np.zeros(n, dtype=bool)
+    compiled.soma_in_message_phase = np.zeros(n, dtype=bool)
+    compiled.threshold = np.zeros(n, dtype=f64)
+    compiled.reverse_threshold = np.zeros(n, dtype=f64)
+    compiled.reset = np.zeros(n, dtype=f64)
+    compiled.reverse_reset = np.zeros(n, dtype=f64)
+    compiled.reset_mode = np.full(n, int(NeuronResetMode.HARD), dtype=np.int32)
+    compiled.reverse_reset_mode = np.full(
+        n, int(NeuronResetMode.NONE), dtype=np.int32
+    )
+    compiled.leak_decay = np.ones(n, dtype=f64)
+    compiled.input_decay = np.zeros(n, dtype=f64)
+    compiled.bias = np.zeros(n, dtype=f64)
+    compiled.leak = np.zeros(n, dtype=f64)
+    compiled.leak_towards_zero = np.ones(n, dtype=bool)
+    compiled.random_range_mask = np.zeros(n, dtype=np.uint32)
+    compiled.force_update = np.zeros(n, dtype=bool)
+    compiled.refractory_delay = np.zeros(n, dtype=np.int32)
+    compiled.initial_potential = np.zeros(n, dtype=f64)
+    compiled.log_spikes = np.zeros(n, dtype=bool)
+    compiled.log_potential = np.zeros(n, dtype=bool)
+    compiled.log_u = np.zeros(n, dtype=bool)
+    compiled.soma_energy_access = np.zeros(n, dtype=f64)
+    compiled.soma_energy_update = np.zeros(n, dtype=f64)
+    compiled.soma_energy_spike = np.zeros(n, dtype=f64)
+    compiled.soma_lat_access = np.zeros(n, dtype=f64)
+    compiled.soma_lat_update = np.zeros(n, dtype=f64)
+    compiled.soma_lat_spike = np.zeros(n, dtype=f64)
+    compiled.dendrite_energy_update = np.zeros(n, dtype=f64)
+    compiled.dendrite_lat_update = np.zeros(n, dtype=f64)
+    compiled.input_poisson = np.zeros(n, dtype=f64)
+    compiled.input_rate_interval = np.zeros(n, dtype=np.int64)
+    compiled.input_train_start = np.zeros(n, dtype=np.int64)
+    compiled.input_train_len = np.zeros(n, dtype=np.int32)
+    compiled.input_train_stride = np.ones(n, dtype=np.int32)
+    compiled.input_train_rank = np.zeros(n, dtype=np.int32)
+    compiled.input_unit_instance = np.zeros(n, dtype=np.int32)
+
+    train_segments: list[np.ndarray] = []
+    train_cursor = 0
+    # Track neurons sharing an input unit, for the shared-iterator semantics
+    # (src/models.cpp:863-903: one spike iterator per unit instance)
+    input_unit_members: dict[int, list[int]] = {}
+    multitap_params: dict[int, tuple[list[float], list[float]]] = {}
+    max_taps = 1
+
+    for core in cores:
+        buffer_pos = core.buffer_position
+        for core_slot, (neuron, ref) in enumerate(per_core_neurons[core.core_id]):
+            i = ref.slot
+            compiled.core_id[i] = core.core_id
+            compiled.offset_in_core[i] = core_slot
+            soma_unit = ref.soma_unit
+            dendrite_unit = ref.dendrite_unit
+            compiled.soma_model[i] = soma_unit.spec.soma_model_id
+            compiled.soma_unit_id[i] = soma_unit.unit_id
+            compiled.dendrite_model[i] = dendrite_unit.spec.dendrite_model_id
+            compiled.dendrite_unit_id[i] = dendrite_unit.unit_id
+            # Pipeline membership (src/mapped.cpp:27-58,168-188)
+            compiled.dendrite_in_neuron_phase[i] = (
+                buffer_pos <= BufferPosition.INSIDE_DENDRITE
+            )
+            # Note: the reference also skips a unit already present in the
+            # message pipeline (multi-function units, src/mapped.cpp:44-58);
+            # built-in models are single-function so the position checks
+            # suffice here.
+            compiled.dendrite_in_message_phase[i] = (
+                buffer_pos > BufferPosition.BEFORE_DENDRITE
+            )
+            compiled.soma_in_message_phase[i] = (
+                buffer_pos > BufferPosition.BEFORE_SOMA
+            ) and (ref.soma_unit is not dendrite_unit)
+            compiled.log_spikes[i] = ref.log_spikes
+            compiled.log_potential[i] = ref.log_potential
+            compiled.soma_energy_access[i] = soma_unit.energy_access_neuron
+            compiled.soma_energy_update[i] = soma_unit.energy_update_neuron
+            compiled.soma_energy_spike[i] = soma_unit.energy_spike_out
+            compiled.soma_lat_access[i] = soma_unit.latency_access_neuron
+            compiled.soma_lat_update[i] = soma_unit.latency_update_neuron
+            compiled.soma_lat_spike[i] = soma_unit.latency_spike_out
+            compiled.dendrite_energy_update[i] = dendrite_unit.energy_update
+            compiled.dendrite_lat_update[i] = dendrite_unit.latency_update
+
+            # Forward attributes by scope (src/mapped.cpp:113-166)
+            attrs = neuron.model_attributes
+            spikes_train: Optional[list[bool]] = None
+            for key, attribute in attrs.items():
+                to_soma = attribute.forward_to_soma
+                to_dendrite = attribute.forward_to_dendrite
+                if to_soma:
+                    model_id = soma_unit.spec.soma_model_id
+                    if model_id == SOMA_MODEL_LIF:
+                        _apply_lif_attribute(compiled, i, key, attribute)
+                    elif model_id == SOMA_MODEL_TRUENORTH:
+                        _apply_truenorth_attribute(compiled, i, key, attribute)
+                    elif model_id == SOMA_MODEL_INPUT:
+                        if key == "spikes":
+                            spikes_train = attribute.as_bool_list()
+                        elif key == "poisson":
+                            compiled.input_poisson[i] = attribute.as_float()
+                        elif key == "rate":
+                            rate = attribute.as_float()
+                            if rate > 0.0:
+                                compiled.input_rate_interval[i] = int(1.0 / rate)
+                if to_dendrite:
+                    if dendrite_unit.spec.dendrite_model_id == (
+                        DENDRITE_MODEL_MULTITAP
+                    ):
+                        _apply_multitap_attribute(
+                            multitap_params, dendrite_unit.unit_id, key, attribute
+                        )
+
+            if soma_unit.spec.soma_model_id == SOMA_MODEL_INPUT:
+                compiled.input_unit_instance[i] = soma_unit.input_instance
+                input_unit_members.setdefault(soma_unit.unit_id, []).append(i)
+                if spikes_train is not None:
+                    arr = np.asarray(spikes_train, dtype=bool)
+                    compiled.input_train_start[i] = train_cursor
+                    compiled.input_train_len[i] = arr.size
+                    train_segments.append(arr)
+                    train_cursor += arr.size
+
+    # Shared-iterator ranks for input units with multiple neurons
+    for unit_id, members in input_unit_members.items():
+        stride = len(members)
+        for rank, i in enumerate(members):
+            compiled.input_train_stride[i] = stride
+            compiled.input_train_rank[i] = rank
+
+    compiled.input_trains = (
+        np.concatenate(train_segments)
+        if train_segments
+        else np.zeros(0, dtype=bool)
+    )
+
+    # Multitap parameter matrices
+    if multitap_params:
+        compiled.has_multitap = True
+        for time_constants, space_constants in multitap_params.values():
+            max_taps = max(max_taps, len(time_constants))
+    compiled.max_taps = max_taps
+    compiled.n_taps = np.ones(n, dtype=np.int32)
+    compiled.tap_time_constants = np.zeros((n, max_taps), dtype=f64)
+    compiled.tap_space_constants = np.zeros((n, max(max_taps - 1, 1)), dtype=f64)
+    if multitap_params:
+        for ref in compiled.neurons:
+            params = multitap_params.get(ref.dendrite_unit.unit_id)
+            if params is None:
+                continue
+            time_constants, space_constants = params
+            taps = len(time_constants)
+            compiled.n_taps[ref.slot] = taps
+            compiled.tap_time_constants[ref.slot, :taps] = time_constants
+            compiled.tap_space_constants[ref.slot, : taps - 1] = space_constants
+
+    # ---- 3. map connections (groups in name order; src/chip.cpp:334-380) ----
+    # edge tuples: (pre_ref, post_ref, synapse_unit, weight, delay, tap, order)
+    edges_by_preneuron: dict[int, list] = {ref.slot: [] for ref in compiled.neurons}
+    for group_name in sorted(net.groups):
+        group = net.groups[group_name]
+        for neuron in group.neurons:
+            for con in neuron.edges_out:
+                pre_ref = neuron_lookup[
+                    (con.pre_neuron.group_name, con.pre_neuron.neuron_offset)
+                ]
+                post_ref = neuron_lookup[
+                    (con.post_neuron.group_name, con.post_neuron.neuron_offset)
+                ]
+                hw_name = con.synapse_hw_name
+                if not hw_name:
+                    # Fall back to post neuron's default
+                    # (src/chip.cpp:308-332)
+                    post_neuron_obj = net.groups[
+                        con.post_neuron.group_name
+                    ].neurons[con.post_neuron.neuron_offset]
+                    hw_name = post_neuron_obj.default_synapse_hw_name
+                synapse_unit = post_ref.core.find_unit(hw_name, is_synapse=True)
+                synapse_unit.connection_count += 1
+                synapse_unit.is_used = True
+                weight = 0.0
+                for key, attribute in con.synapse_attributes.items():
+                    if key in ("w", "weight") and attribute.forward_to_synapse:
+                        weight = attribute.as_float()
+                delay = 0
+                tap = 0
+                for key, attribute in con.dendrite_attributes.items():
+                    if not attribute.forward_to_dendrite:
+                        continue
+                    if key in ("delay", "d") and (
+                        post_ref.dendrite_unit.spec.dendrite_model_id
+                        == DENDRITE_MODEL_ACCUMULATOR_DELAY
+                    ):
+                        delay = attribute.as_int()
+                        if delay > ACCUMULATOR_MAX_DELAY:
+                            raise ValueError("Error: delay > max delay")
+                    elif key == "tap" and (
+                        post_ref.dendrite_unit.spec.dendrite_model_id
+                        == DENDRITE_MODEL_MULTITAP
+                    ):
+                        tap = attribute.as_int()
+                edges_by_preneuron[pre_ref.slot].append(
+                    (post_ref, synapse_unit, weight, delay, tap)
+                )
+
+    # ---- 4. axon allocation (src/chip.cpp:382-408,1263-1391) ----
+    axon_src_slot: list[int] = []
+    axon_dest_core: list[int] = []
+    axon_ordinal_in_neuron: list[int] = []
+    edge_src: list[int] = []
+    edge_dest: list[int] = []
+    edge_axon: list[int] = []
+    edge_weight: list[float] = []
+    edge_unit: list[int] = []
+    edge_delay: list[int] = []
+    edge_tap: list[int] = []
+
+    for core in cores:
+        for pre_slot in core.neuron_slots:
+            pre_edges = edges_by_preneuron[pre_slot]
+            if not pre_edges:
+                continue
+            dest_cores = sorted({post.core.core_id for post, *_ in pre_edges})
+            axon_of_core = {}
+            for axon_ordinal, dest_core_id in enumerate(dest_cores):
+                axon_id = len(axon_src_slot)
+                axon_of_core[dest_core_id] = axon_id
+                axon_src_slot.append(pre_slot)
+                axon_dest_core.append(dest_core_id)
+                axon_ordinal_in_neuron.append(axon_ordinal)
+            # Edges appended grouped by axon, preserving edges_out order
+            # within each axon
+            for dest_core_id in dest_cores:
+                axon_id = axon_of_core[dest_core_id]
+                for post, synapse_unit, weight, delay, tap in pre_edges:
+                    if post.core.core_id != dest_core_id:
+                        continue
+                    edge_src.append(pre_slot)
+                    edge_dest.append(post.slot)
+                    edge_axon.append(axon_id)
+                    edge_weight.append(weight)
+                    edge_unit.append(synapse_unit.unit_id)
+                    edge_delay.append(delay)
+                    edge_tap.append(tap)
+
+    a = len(axon_src_slot)
+    e = len(edge_src)
+    compiled.n_axons = a
+    compiled.n_edges = e
+    compiled.axon_src_slot = np.asarray(axon_src_slot, dtype=np.int32)
+    compiled.axon_dest_core = np.asarray(axon_dest_core, dtype=np.int32)
+    compiled.axon_ordinal_in_neuron = np.asarray(
+        axon_ordinal_in_neuron, dtype=np.int32
+    )
+    compiled.edge_src_slot = np.asarray(edge_src, dtype=np.int32)
+    compiled.edge_dest_slot = np.asarray(edge_dest, dtype=np.int32)
+    compiled.edge_axon = np.asarray(edge_axon, dtype=np.int32)
+    compiled.edge_weight = np.asarray(edge_weight, dtype=f64)
+    compiled.edge_synapse_unit_id = np.asarray(edge_unit, dtype=np.int32)
+    compiled.edge_delay = np.asarray(edge_delay, dtype=np.int32)
+    compiled.edge_tap = np.asarray(edge_tap, dtype=np.int32)
+    compiled.has_delay_dendrite = bool(
+        np.any(
+            compiled.dendrite_model[compiled.edge_dest_slot]
+            == DENDRITE_MODEL_ACCUMULATOR_DELAY
+        )
+    ) if e else False
+
+    unit_by_id = {unit.unit_id: unit for unit in compiled.units}
+    compiled.edge_synapse_energy = np.asarray(
+        [unit_by_id[u].energy_process_spike for u in edge_unit], dtype=f64
+    )
+    compiled.edge_synapse_latency = np.asarray(
+        [unit_by_id[u].latency_process_spike for u in edge_unit], dtype=f64
+    )
+    # Message-phase dendrite costs per edge (synapse always runs in the
+    # message pipeline; dendrite joins it unless the buffer sits before it)
+    dest_slots = compiled.edge_dest_slot if e else np.zeros(0, dtype=np.int32)
+    in_msg = (
+        compiled.dendrite_in_message_phase[dest_slots]
+        if e
+        else np.zeros(0, dtype=bool)
+    )
+    compiled.edge_dendrite_energy = np.where(
+        in_msg, compiled.dendrite_energy_update[dest_slots], 0.0
+    )
+    compiled.edge_dendrite_latency = np.where(
+        in_msg, compiled.dendrite_lat_update[dest_slots], 0.0
+    )
+
+    # ---- 5. per-axon constants ----
+    fanout = np.zeros(a, dtype=np.int32)
+    if e:
+        np.add.at(fanout, compiled.edge_axon, 1)
+    compiled.axon_fanout = fanout
+
+    core_tile = np.asarray([core.tile_id for core in cores], dtype=np.int32)
+    core_offset_in_tile = np.asarray(
+        [core.offset_within_tile for core in cores], dtype=np.int32
+    )
+    tile_x = np.asarray([t.x for t in arch.tiles], dtype=np.int32)
+    tile_y = np.asarray([t.y for t in arch.tiles], dtype=np.int32)
+    m = arch.tiles
+    e_north = np.asarray([t.power_metrics.energy_north_hop for t in m])
+    e_east = np.asarray([t.power_metrics.energy_east_hop for t in m])
+    e_south = np.asarray([t.power_metrics.energy_south_hop for t in m])
+    e_west = np.asarray([t.power_metrics.energy_west_hop for t in m])
+    l_north = np.asarray([t.power_metrics.latency_north_hop for t in m])
+    l_east = np.asarray([t.power_metrics.latency_east_hop for t in m])
+    l_south = np.asarray([t.power_metrics.latency_south_hop for t in m])
+    l_west = np.asarray([t.power_metrics.latency_west_hop for t in m])
+
+    src_core = compiled.core_id[compiled.axon_src_slot] if a else np.zeros(
+        0, dtype=np.int32
+    )
+    compiled.axon_src_core = src_core
+    src_tile = core_tile[src_core]
+    dest_tile = core_tile[compiled.axon_dest_core] if a else np.zeros(
+        0, dtype=np.int32
+    )
+    compiled.axon_dest_tile = dest_tile
+    sx, sy = tile_x[src_tile], tile_y[src_tile]
+    dx, dy = tile_x[dest_tile], tile_y[dest_tile]
+    compiled.axon_src_x = sx
+    compiled.axon_src_y = sy
+    compiled.axon_dest_x = dx
+    compiled.axon_dest_y = dy
+    compiled.axon_src_core_offset = core_offset_in_tile[src_core]
+    compiled.axon_dest_core_offset = (
+        core_offset_in_tile[compiled.axon_dest_core]
+        if a
+        else np.zeros(0, dtype=np.int32)
+    )
+    x_hops = np.abs(sx - dx).astype(np.int64)
+    y_hops = np.abs(sy - dy).astype(np.int64)
+    compiled.axon_x_hops = x_hops
+    compiled.axon_y_hops = y_hops
+    compiled.axon_hops = x_hops + y_hops
+    east = sx < dx
+    north = sy < dy
+    compiled.axon_east = east
+    compiled.axon_north = north
+    # Latency uses the src tile's hop costs; energy uses the dest tile's
+    # (src/chip.cpp:1127-1169 with sim_calculate_tile_energy accumulating at
+    # the destination tile)
+    compiled.axon_min_hop_delay = x_hops * np.where(
+        east, l_east[src_tile], l_west[src_tile]
+    ) + y_hops * np.where(north, l_north[src_tile], l_south[src_tile])
+    compiled.axon_hop_energy = x_hops * np.where(
+        east, e_east[dest_tile], e_west[dest_tile]
+    ) + y_hops * np.where(north, e_north[dest_tile], e_south[dest_tile])
+
+    core_energy_in = np.asarray([core.energy_message_in for core in cores])
+    core_latency_in = np.asarray([core.latency_message_in for core in cores])
+    core_energy_out = np.asarray([core.energy_message_out for core in cores])
+    core_latency_out = np.asarray([core.latency_message_out for core in cores])
+    compiled.axon_energy_in = (
+        core_energy_in[compiled.axon_dest_core] if a else np.zeros(0)
+    )
+    compiled.axon_latency_in = (
+        core_latency_in[compiled.axon_dest_core] if a else np.zeros(0)
+    )
+    compiled.axon_energy_out = core_energy_out[src_core] if a else np.zeros(0)
+    compiled.axon_latency_out = core_latency_out[src_core] if a else np.zeros(0)
+
+    # Constant part of per-message processing latency: axon_in +
+    # per-edge synapse (+ message-phase dendrite) latencies
+    per_edge_lat = compiled.edge_synapse_latency + compiled.edge_dendrite_latency
+    edge_lat_per_axon = np.zeros(a, dtype=f64)
+    if e:
+        np.add.at(edge_lat_per_axon, compiled.edge_axon, per_edge_lat)
+    compiled.axon_const_processing_latency = (
+        compiled.axon_latency_in + edge_lat_per_axon
+    )
+
+    # ---- 6. trace slot orderings (groups sorted by name, offsets ascending;
+    # mirrors std::map iteration in sim_trace_* writers) ----
+    spike_slots, spike_labels = [], []
+    pot_slots, pot_labels = [], []
+    u_slots, u_labels = [], []
+    for group_name in sorted(compiled.groups):
+        slots = compiled.groups[group_name]
+        for offset, nslot in enumerate(slots):
+            if compiled.log_spikes[nslot]:
+                spike_slots.append(nslot)
+                spike_labels.append((group_name, offset))
+            if compiled.log_potential[nslot]:
+                pot_slots.append(nslot)
+                pot_labels.append((group_name, offset))
+            if compiled.log_u[nslot]:
+                u_slots.append(nslot)
+                u_labels.append((group_name, offset))
+    compiled.spike_log_slots = np.asarray(spike_slots, dtype=np.int32)
+    compiled.spike_log_labels = spike_labels
+    compiled.potential_log_slots = np.asarray(pot_slots, dtype=np.int32)
+    compiled.potential_log_labels = pot_labels
+    compiled.u_log_slots = np.asarray(u_slots, dtype=np.int32)
+    compiled.u_log_labels = u_labels
+
+    return compiled
+
+
+def _apply_lif_attribute(
+    compiled: CompiledChip, i: int, key: str, attribute: Attribute
+) -> None:
+    """LoihiLifModel::set_attribute_neuron (src/models.cpp:375-439)."""
+    if key == "threshold":
+        compiled.threshold[i] = attribute.as_float()
+    elif key == "reverse_threshold":
+        compiled.reverse_threshold[i] = attribute.as_float()
+    elif key == "reset":
+        compiled.reset[i] = attribute.as_float()
+    elif key == "reverse_reset":
+        compiled.reverse_reset[i] = attribute.as_float()
+    elif key == "reset_mode":
+        compiled.reset_mode[i] = int(parse_reset_mode(attribute.as_str()))
+    elif key == "reverse_reset_mode":
+        compiled.reverse_reset_mode[i] = int(parse_reset_mode(attribute.as_str()))
+    elif key == "leak_decay":
+        compiled.leak_decay[i] = attribute.as_float()
+    elif key == "log_u":
+        compiled.log_u[i] = attribute.as_bool()
+    elif key == "input_decay":
+        compiled.input_decay[i] = attribute.as_float()
+    elif key == "bias":
+        compiled.bias[i] = attribute.as_float()
+    elif key in ("force_update", "force_update_every_timestep"):
+        compiled.force_update[i] = attribute.as_bool()
+    elif key == "refractory_delay":
+        compiled.refractory_delay[i] = attribute.as_int()
+    elif key == "potential":
+        compiled.initial_potential[i] = attribute.as_float()
+
+
+def _apply_truenorth_attribute(
+    compiled: CompiledChip, i: int, key: str, attribute: Attribute
+) -> None:
+    """TrueNorthModel::set_attribute_neuron (src/models.cpp:664-722)."""
+    if key == "threshold":
+        compiled.threshold[i] = attribute.as_float()
+    elif key == "reverse_threshold":
+        compiled.reverse_threshold[i] = attribute.as_float()
+    elif key == "reset":
+        compiled.reset[i] = attribute.as_float()
+    elif key == "reverse_reset":
+        compiled.reverse_reset[i] = attribute.as_float()
+    elif key == "reset_mode":
+        compiled.reset_mode[i] = int(parse_reset_mode(attribute.as_str()))
+    elif key == "reverse_reset_mode":
+        compiled.reverse_reset_mode[i] = int(parse_reset_mode(attribute.as_str()))
+    elif key == "leak":
+        compiled.leak[i] = attribute.as_float()
+    elif key == "bias":
+        compiled.bias[i] = attribute.as_float()
+    elif key in ("force_update", "force_update_every_timestep"):
+        compiled.force_update[i] = attribute.as_bool()
+    elif key == "leak_towards_zero":
+        compiled.leak_towards_zero[i] = attribute.as_bool()
+    elif key == "random_mask":
+        mask = attribute.as_int()
+        if mask < 0:
+            raise ValueError("random_mask < 0; must be unsigned.")
+        compiled.random_range_mask[i] = mask
+
+
+def _apply_multitap_attribute(
+    params: dict[int, tuple[list[float], list[float]]],
+    unit_id: int,
+    key: str,
+    attribute: Attribute,
+) -> None:
+    """MultiTapModel1D attributes are per-unit (src/models.cpp:261-324)."""
+    time_constants, space_constants = params.setdefault(unit_id, ([0.0], []))
+    if key == "taps":
+        taps = attribute.as_int()
+        if taps <= 0:
+            raise ValueError("Number of taps must be > 0")
+        del time_constants[taps:]
+        time_constants.extend([0.0] * (taps - len(time_constants)))
+        del space_constants[max(taps - 1, 0):]
+        space_constants.extend([0.0] * (taps - 1 - len(space_constants)))
+        params[unit_id] = (time_constants, space_constants)
+    elif key == "time_constants":
+        values = attribute.as_float_list()
+        params[unit_id] = (values, space_constants)
+    elif key == "space_constants":
+        values = attribute.as_float_list()
+        params[unit_id] = (time_constants, values)
