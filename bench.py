@@ -1,0 +1,63 @@
+"""Headline benchmark: simulated timesteps/second, detailed timing model.
+
+Workload matches the reference's CI perf check (`tests/ci/check_perf.rb`):
+`arch/example_chip.yaml` + `snn/example_snn.yaml`, detailed timing. The
+reference baseline is 156.49 s for 100k steps => ~639 timesteps/s
+(tests/ci/perf_baseline.txt). Falls back to an equivalent synthetic chip if
+the reference fixtures are absent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+BASELINE_TS_PER_S = 100000.0 / 156.49  # reference CI perf baseline
+
+REF_ARCH = Path("/root/reference/arch/example_chip.yaml")
+REF_SNN = Path("/root/reference/snn/example_snn.yaml")
+
+
+def build_chip():
+    import sanafe_tpu as sf
+
+    if REF_ARCH.exists() and REF_SNN.exists():
+        arch = sf.load_arch(REF_ARCH)
+        net = sf.load_net(REF_SNN, arch)
+        chip = sf.SpikingChip(arch)
+        chip.load(net)
+        return chip
+    from __graft_entry__ import _build_chip
+
+    return _build_chip()
+
+
+def main() -> None:
+    warmup = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+
+    chip = build_chip()
+    chip.sim(warmup, timing_model="detailed", heartbeat=0)
+    t0 = time.perf_counter()
+    chip.sim(steps, timing_model="detailed", heartbeat=0)
+    elapsed = time.perf_counter() - t0
+
+    ts_per_s = steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "timesteps_per_second_detailed_example",
+                "value": round(ts_per_s, 2),
+                "unit": "timesteps/s",
+                "vs_baseline": round(ts_per_s / BASELINE_TS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
