@@ -1,0 +1,457 @@
+// Native detailed-timing scheduler for sanafe_tpu.
+//
+// Implements the semi-analytical NoC congestion sweep of the reference
+// simulator (SLAM-Lab/SANA-FE src/schedule.cpp:208-611) as a standalone C
+// library consumed from Python via ctypes. The device kernel streams per-chunk
+// fired-axon bitmaps and per-neuron generation latencies; this library
+// reconstructs each timestep's per-core message lists and runs the exact
+// serial event sweep per timestep. Timesteps are independent (the tracked NoC
+// state resets each timestep), so the chunk is parallelized across timesteps
+// with OpenMP -- the TPU-era replacement for the reference's pipelined
+// scheduler threads (src/schedule.hpp:47-167).
+//
+// This is a from-scratch implementation of the published algorithm; no code
+// is copied from the reference.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr int kNorth = 0;
+constexpr int kEast = 1;
+constexpr int kSouth = 2;
+constexpr int kWest = 3;
+constexpr int kNDir = 4;
+
+struct ChipLayout {
+    // NoC
+    int noc_w = 1;
+    int noc_h = 1;
+    int links_per_tile = kNDir;
+    int buffer_size = 0;
+    int n_cores = 0;
+    int n_axons = 0;
+    int n_neurons = 0;
+    // per-axon (size n_axons)
+    std::vector<int32_t> src_slot, src_core, dest_core;
+    std::vector<int32_t> src_x, src_y, dest_x, dest_y;
+    std::vector<int32_t> src_core_offset, hops, ordinal;
+    std::vector<double> latency_out, proc_delay, min_hop_delay;
+    // per-core (size n_cores): global slot range [slot_lo, slot_hi]
+    std::vector<int32_t> core_slot_lo, core_slot_hi;
+    std::vector<int32_t> core_tile_x, core_tile_y, core_offset;
+    // per-core list of axon ids sourced from that core, ascending
+    std::vector<int32_t> core_axon_start;  // size n_cores+1 into core_axons
+    std::vector<int32_t> core_axons;
+};
+
+struct Msg {
+    int32_t axon = -1;  // -1 => placeholder
+    int32_t src_core = 0;
+    int32_t dest_core = -1;
+    double gen_delay = 0.0;
+    double proc_delay = 0.0;
+    double min_hop_delay = 0.0;
+    double net_delay = 0.0;
+    double block_delay = 0.0;
+    double sent_ts = 0.0;
+    double recv_ts = 0.0;
+    double proc_ts = 0.0;
+    double route_density = 0.0;
+};
+
+struct HeapEntry {
+    double key;
+    int64_t seq;
+    int32_t core;
+    int32_t idx;
+    bool operator>(const HeapEntry &o) const {
+        if (key != o.key) return key > o.key;
+        return seq > o.seq;
+    }
+};
+
+using MinHeap =
+    std::priority_queue<HeapEntry, std::vector<HeapEntry>, std::greater<>>;
+
+std::vector<ChipLayout *> g_chips;
+std::mutex g_chips_mutex;
+
+// Enumerate the links of a message's dimension-order (x then y) route,
+// mirroring the reference's noc_get_links (src/schedule.cpp:478-553): the
+// first link is the source core's tile-entry link, then E/W links across x,
+// then N/S links across y, and finally the destination tile link taken in
+// the direction of travel.
+template <typename Fn>
+inline void for_route_links(const ChipLayout &L, int sx, int sy, int dx,
+                            int dy, int src_core_offset, Fn &&fn) {
+    const int lpt = L.links_per_tile;
+    auto idx = [&](int x, int y, int link) {
+        return (x * L.noc_h + y) * lpt + link;
+    };
+    int x_inc = (sx < dx) ? 1 : -1;
+    int y_inc = (sy < dy) ? 1 : -1;
+    int prev_dir = kNDir + src_core_offset;
+    for (int x = sx; x != dx; x += x_inc) {
+        int dir = (x_inc > 0) ? kEast : kWest;
+        if (x == sx) {
+            fn(idx(x, sy, kNDir + src_core_offset));
+        } else {
+            fn(idx(x, sy, dir));
+        }
+        prev_dir = dir;
+    }
+    for (int y = sy; y != dy; y += y_inc) {
+        int dir = (y_inc > 0) ? kNorth : kSouth;
+        if (sx == dx && y == sy) {
+            fn(idx(dx, y, kNDir + src_core_offset));
+        } else {
+            fn(idx(dx, y, prev_dir));
+        }
+        prev_dir = dir;
+    }
+    if (sx == dx && sy == dy) {
+        fn(idx(dx, dy, kNDir + src_core_offset));
+    } else {
+        fn(idx(dx, dy, prev_dir));
+    }
+}
+
+struct NocState {
+    std::vector<double> density;
+    std::vector<double> core_finished_receiving;
+    double mean_in_flight_recv_delay = 0.0;
+    int messages_in_noc = 0;
+    // retirement heap of in-flight messages keyed by received timestamp
+    MinHeap retire;
+
+    explicit NocState(const ChipLayout &L)
+        : density(static_cast<size_t>(L.noc_w) * L.noc_h * L.links_per_tile,
+                  0.0),
+          core_finished_receiving(L.n_cores, 0.0) {}
+};
+
+inline void update_density(const ChipLayout &L, NocState &noc, const Msg &m,
+                           bool entering) {
+    const int32_t a = m.axon;
+    double adj = 1.0 / (2.0 + L.hops[a]);
+    if (!entering) adj = -adj;
+    for_route_links(L, L.src_x[a], L.src_y[a], L.dest_x[a], L.dest_y[a],
+                    L.src_core_offset[a],
+                    [&](int link) { noc.density[link] += adj; });
+}
+
+inline void update_rolling_mean(NocState &noc, const Msg &m, bool entering) {
+    // Exact incremental mean of in-flight receive (processing) delays
+    // (src/schedule.cpp:449-476).
+    if (entering) {
+        noc.mean_in_flight_recv_delay +=
+            (m.proc_delay - noc.mean_in_flight_recv_delay) /
+            (noc.messages_in_noc + 1.0);
+        noc.messages_in_noc += 1;
+    } else {
+        if (noc.messages_in_noc > 1) {
+            noc.mean_in_flight_recv_delay +=
+                (noc.mean_in_flight_recv_delay - m.proc_delay) /
+                (noc.messages_in_noc - 1.0);
+        } else {
+            noc.mean_in_flight_recv_delay = 0.0;
+        }
+        noc.messages_in_noc -= 1;
+    }
+}
+
+// Build the per-core message lists for one timestep from the fired-axon
+// bitmap and per-neuron generation latencies (src/chip.cpp:624-654,802-834).
+void build_messages(const ChipLayout &L, const uint8_t *fired,
+                    const double *gen_lat,
+                    std::vector<std::vector<Msg>> &queues) {
+    queues.assign(L.n_cores, {});
+    for (int core = 0; core < L.n_cores; ++core) {
+        const int32_t lo = L.core_slot_lo[core];
+        const int32_t hi = L.core_slot_hi[core];
+        if (lo < 0) continue;
+        auto &q = queues[core];
+        double acc = 0.0;
+        int32_t next_slot = lo;
+        const int32_t a_begin = L.core_axon_start[core];
+        const int32_t a_end = L.core_axon_start[core + 1];
+        for (int32_t ai = a_begin; ai < a_end; ++ai) {
+            const int32_t a = L.core_axons[ai];
+            if (!fired[a]) continue;
+            if (L.ordinal[a] == 0) {
+                const int32_t s = L.src_slot[a];
+                for (int32_t j = next_slot; j <= s; ++j) acc += gen_lat[j];
+                next_slot = s + 1;
+            }
+            Msg m;
+            m.axon = a;
+            m.src_core = core;
+            m.dest_core = L.dest_core[a];
+            m.gen_delay = acc + L.latency_out[a];
+            m.proc_delay = L.proc_delay[a];
+            m.min_hop_delay = L.min_hop_delay[a];
+            acc = 0.0;
+            q.push_back(m);
+        }
+        double remainder = 0.0;
+        for (int32_t j = next_slot; j <= hi; ++j) remainder += gen_lat[j];
+        if (remainder != 0.0) {
+            Msg m;  // placeholder (mid = -1 in the reference)
+            m.axon = -1;
+            m.src_core = core;
+            m.dest_core = -1;
+            m.gen_delay = remainder;
+            q.push_back(m);
+        }
+    }
+}
+
+// One timestep's event sweep (src/schedule.cpp:208-292). Returns the final
+// timestamp (before the sync delay is added).
+double sweep_timestep(const ChipLayout &L,
+                      std::vector<std::vector<Msg>> &queues) {
+    NocState noc(L);
+    std::vector<int32_t> heads(L.n_cores, 0);
+    MinHeap heap;
+    // retired message bookkeeping: the retire heap stores (recv_ts, seq,
+    // core, index into a flat in-flight store)
+    std::vector<Msg *> in_flight;
+    int64_t seq = 0;
+    double last_ts = 0.0;
+
+    auto push_next = [&](int core, const Msg *base) {
+        int32_t i = heads[core]++;
+        Msg &m = queues[core][i];
+        m.sent_ts = (base == nullptr) ? m.gen_delay
+                                      : base->sent_ts + m.gen_delay;
+        heap.push({m.sent_ts, seq++, static_cast<int32_t>(core), i});
+        if (m.sent_ts > last_ts) last_ts = m.sent_ts;
+    };
+
+    for (int core = 0; core < L.n_cores; ++core) {
+        if (!queues[core].empty()) push_next(core, nullptr);
+    }
+
+    while (!heap.empty()) {
+        HeapEntry e = heap.top();
+        heap.pop();
+        Msg &m = queues[e.core][e.idx];
+        if (m.sent_ts > last_ts) last_ts = m.sent_ts;
+
+        // Retire every in-flight message received by now
+        // (src/schedule.cpp:380-400).
+        while (!noc.retire.empty() && noc.retire.top().key <= m.sent_ts) {
+            HeapEntry r = noc.retire.top();
+            noc.retire.pop();
+            Msg &rm = queues[r.core][r.idx];
+            update_density(L, noc, rm, false);
+            update_rolling_mean(noc, rm, false);
+        }
+
+        if (m.axon >= 0) {
+            // schedule_handle_message (src/schedule.cpp:306-358)
+            const int32_t a = m.axon;
+            double flow = 0.0;
+            for_route_links(L, L.src_x[a], L.src_y[a], L.dest_x[a],
+                            L.dest_y[a], L.src_core_offset[a],
+                            [&](int link) { flow += noc.density[link]; });
+            m.route_density = flow;
+            const double path_capacity =
+                (L.hops[a] + 1.0) * L.buffer_size;
+            if (flow > path_capacity) {
+                m.block_delay =
+                    (flow - path_capacity) * noc.mean_in_flight_recv_delay;
+                m.sent_ts += m.block_delay;
+            } else {
+                m.block_delay = 0.0;
+            }
+            const double congestion_delay = flow *
+                                            noc.mean_in_flight_recv_delay /
+                                            (L.hops[a] + 1.0);
+            m.net_delay = std::max(m.min_hop_delay, congestion_delay);
+            const double earliest = m.sent_ts + m.net_delay;
+            double &fin = noc.core_finished_receiving[m.dest_core];
+            m.recv_ts = std::max(fin, earliest);
+            fin = std::max(fin + m.proc_delay, earliest + m.proc_delay);
+            m.proc_ts = fin;
+            if (m.proc_ts > last_ts) last_ts = m.proc_ts;
+            update_density(L, noc, m, true);
+            update_rolling_mean(noc, m, true);
+            noc.retire.push({m.recv_ts, seq++, e.core, e.idx});
+        }
+
+        if (heads[e.core] < static_cast<int32_t>(queues[e.core].size())) {
+            push_next(e.core, &m);
+        }
+    }
+    return last_ts;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t sched_create(
+    int32_t noc_w, int32_t noc_h, int32_t links_per_tile,
+    int32_t buffer_size, int32_t n_cores, int32_t n_axons, int32_t n_neurons,
+    const int32_t *axon_src_slot, const int32_t *axon_src_core,
+    const int32_t *axon_dest_core, const int32_t *axon_src_x,
+    const int32_t *axon_src_y, const int32_t *axon_dest_x,
+    const int32_t *axon_dest_y, const int32_t *axon_src_core_offset,
+    const int32_t *axon_hops, const int32_t *axon_ordinal,
+    const double *axon_latency_out, const double *axon_proc_delay,
+    const double *axon_min_hop_delay, const int32_t *core_slot_lo,
+    const int32_t *core_slot_hi) {
+    auto *L = new ChipLayout();
+    L->noc_w = noc_w;
+    L->noc_h = noc_h;
+    L->links_per_tile = links_per_tile;
+    L->buffer_size = buffer_size;
+    L->n_cores = n_cores;
+    L->n_axons = n_axons;
+    L->n_neurons = n_neurons;
+    auto copy32 = [n_axons](std::vector<int32_t> &dst, const int32_t *src) {
+        dst.assign(src, src + n_axons);
+    };
+    auto copy64 = [n_axons](std::vector<double> &dst, const double *src) {
+        dst.assign(src, src + n_axons);
+    };
+    copy32(L->src_slot, axon_src_slot);
+    copy32(L->src_core, axon_src_core);
+    copy32(L->dest_core, axon_dest_core);
+    copy32(L->src_x, axon_src_x);
+    copy32(L->src_y, axon_src_y);
+    copy32(L->dest_x, axon_dest_x);
+    copy32(L->dest_y, axon_dest_y);
+    copy32(L->src_core_offset, axon_src_core_offset);
+    copy32(L->hops, axon_hops);
+    copy32(L->ordinal, axon_ordinal);
+    copy64(L->latency_out, axon_latency_out);
+    copy64(L->proc_delay, axon_proc_delay);
+    copy64(L->min_hop_delay, axon_min_hop_delay);
+    L->core_slot_lo.assign(core_slot_lo, core_slot_lo + n_cores);
+    L->core_slot_hi.assign(core_slot_hi, core_slot_hi + n_cores);
+    // Axon ids are allocated core-major so a stable counting pass groups them.
+    L->core_axon_start.assign(n_cores + 1, 0);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        L->core_axon_start[L->src_core[a] + 1] += 1;
+    }
+    for (int32_t c = 0; c < n_cores; ++c) {
+        L->core_axon_start[c + 1] += L->core_axon_start[c];
+    }
+    L->core_axons.resize(n_axons);
+    std::vector<int32_t> cursor(L->core_axon_start.begin(),
+                                L->core_axon_start.end() - 1);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        L->core_axons[cursor[L->src_core[a]]++] = a;
+    }
+
+    std::lock_guard<std::mutex> lock(g_chips_mutex);
+    g_chips.push_back(L);
+    return static_cast<int64_t>(g_chips.size() - 1);
+}
+
+void sched_destroy(int64_t handle) {
+    std::lock_guard<std::mutex> lock(g_chips_mutex);
+    if (handle >= 0 && handle < static_cast<int64_t>(g_chips.size())) {
+        delete g_chips[handle];
+        g_chips[handle] = nullptr;
+    }
+}
+
+// Run the detailed sweep for a chunk of T timesteps.
+//   fired:    [T, n_axons] uint8
+//   gen_lat:  [T, n_neurons] double
+//   sim_time: [T] double out (includes sync_delay)
+// Parallel across timesteps. Returns 0 on success.
+int32_t sched_run_chunk(int64_t handle, int32_t T, const uint8_t *fired,
+                        const double *gen_lat, double sync_delay,
+                        double *sim_time, int32_t n_threads) {
+    ChipLayout *L;
+    {
+        std::lock_guard<std::mutex> lock(g_chips_mutex);
+        if (handle < 0 || handle >= static_cast<int64_t>(g_chips.size()) ||
+            g_chips[handle] == nullptr) {
+            return -1;
+        }
+        L = g_chips[handle];
+    }
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel
+    {
+        std::vector<std::vector<Msg>> queues;
+#pragma omp for schedule(dynamic)
+        for (int32_t t = 0; t < T; ++t) {
+            build_messages(*L, fired + static_cast<size_t>(t) * L->n_axons,
+                           gen_lat + static_cast<size_t>(t) * L->n_neurons,
+                           queues);
+            sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+        }
+    }
+#else
+    std::vector<std::vector<Msg>> queues;
+    for (int32_t t = 0; t < T; ++t) {
+        build_messages(*L, fired + static_cast<size_t>(t) * L->n_axons,
+                       gen_lat + static_cast<size_t>(t) * L->n_neurons,
+                       queues);
+        sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+    }
+#endif
+    return 0;
+}
+
+// Single-timestep variant that also exports every per-message field for the
+// message trace (messages.csv). Caller provides output arrays sized to the
+// message count (fired axon count + up to n_cores placeholders).
+//   Returns the number of messages written, or -1 on error.
+int32_t sched_run_timestep_trace(
+    int64_t handle, const uint8_t *fired, const double *gen_lat,
+    double sync_delay, double *sim_time,
+    int32_t *out_axon, int32_t *out_src_core, double *out_gen,
+    double *out_proc, double *out_net, double *out_block, double *out_sent,
+    double *out_recv, double *out_done, double *out_density) {
+    ChipLayout *L;
+    {
+        std::lock_guard<std::mutex> lock(g_chips_mutex);
+        if (handle < 0 || handle >= static_cast<int64_t>(g_chips.size()) ||
+            g_chips[handle] == nullptr) {
+            return -1;
+        }
+        L = g_chips[handle];
+    }
+    std::vector<std::vector<Msg>> queues;
+    build_messages(*L, fired, gen_lat, queues);
+    *sim_time = sweep_timestep(*L, queues) + sync_delay;
+    int32_t k = 0;
+    for (const auto &q : queues) {
+        for (const Msg &m : q) {
+            out_axon[k] = m.axon;
+            out_src_core[k] = m.src_core;
+            out_gen[k] = m.gen_delay;
+            out_proc[k] = m.proc_delay;
+            out_net[k] = m.net_delay;
+            out_block[k] = m.block_delay;
+            out_sent[k] = m.sent_ts;
+            out_recv[k] = m.recv_ts;
+            out_done[k] = m.proc_ts;
+            out_density[k] = m.route_density;
+            ++k;
+        }
+    }
+    return k;
+}
+
+}  // extern "C"

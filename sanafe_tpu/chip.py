@@ -29,6 +29,7 @@ from .ops.step import DeviceProgram, make_device_program
 from .ops.timing import (
     MessageRecord,
     build_timestep_messages,
+    records_from_native,
     schedule_timestep_detailed,
     schedule_timestep_simple_messages,
 )
@@ -355,25 +356,59 @@ class SpikingChip:
         if timing_model == "detailed" or need_messages:
             sched_start = time.perf_counter()
             fired_axons = outputs["fired_axons"]
-            gen_latency = outputs["neuron_gen_latency"]
-            detailed_times = np.zeros(length)
-            for i in range(length):
-                msgs, self._next_mid = build_timestep_messages(
-                    c,
-                    fired_axons[i],
-                    gen_latency[i],
-                    t0 + i,
-                    getattr(self, "_next_mid", 0),
+            # Recompute per-neuron generation latencies in float64 from the
+            # status flags (access + update + spike + neuron-phase dendrite
+            # costs), mirroring the accumulation in process_neuron
+            # (src/chip.cpp:710-736).
+            status = outputs["neuron_status"]
+            gen_latency = (
+                c.soma_lat_access[None, :]
+                + (status >= 1) * c.soma_lat_update[None, :]
+                + (status == 2) * c.soma_lat_spike[None, :]
+                + c.dendrite_in_neuron_phase[None, :]
+                * c.dendrite_lat_update[None, :]
+            )
+            native = self._get_native_scheduler()
+            if (
+                timing_model == "detailed"
+                and not need_messages
+                and native is not None
+            ):
+                sim_times = native.run_chunk(
+                    fired_axons, gen_latency, prog_sync
                 )
-                if timing_model == "detailed":
-                    detailed_times[i] = schedule_timestep_detailed(
-                        c, msgs, prog_sync
+            elif timing_model == "detailed" and native is not None:
+                detailed_times = np.zeros(length)
+                for i in range(length):
+                    sim_t, fields = native.run_timestep_trace(
+                        fired_axons[i], gen_latency[i], prog_sync
                     )
-                else:
-                    schedule_timestep_simple_messages(msgs)
-                messages_by_step[i] = msgs
-            if timing_model == "detailed":
+                    detailed_times[i] = sim_t
+                    msgs, self._next_mid = records_from_native(
+                        c, fields, t0 + i, getattr(self, "_next_mid", 0)
+                    )
+                    messages_by_step[i] = msgs
                 sim_times = detailed_times
+            else:
+                # pure-Python fallback (exact same algorithm)
+                detailed_times = np.zeros(length)
+                for i in range(length):
+                    msgs, self._next_mid = build_timestep_messages(
+                        c,
+                        fired_axons[i],
+                        gen_latency[i],
+                        t0 + i,
+                        getattr(self, "_next_mid", 0),
+                    )
+                    if timing_model == "detailed":
+                        detailed_times[i] = schedule_timestep_detailed(
+                            c, msgs, prog_sync
+                        )
+                    else:
+                        schedule_timestep_simple_messages(msgs)
+                    messages_by_step[i] = msgs
+                if timing_model == "detailed":
+                    sim_times = detailed_times
             self.scheduler_wall += time.perf_counter() - sched_start
         rd.sim_time += float(sim_times.sum())
 
@@ -475,6 +510,26 @@ class SpikingChip:
             for t in range(t0, t0 + length):
                 if t % heartbeat == 0:
                     print(f"*** Time-step {t} ***")
+
+    def _get_native_scheduler(self):
+        """Build (once) the C++ detailed-timing scheduler for this chip;
+        returns None if the native library cannot be built."""
+        if getattr(self, "_native_failed", False):
+            return None
+        native = getattr(self, "_native", None)
+        if native is not None and native.compiled is self.compiled:
+            return native
+        try:
+            from .native import NativeScheduler, NativeUnavailable
+        except ImportError:
+            self._native_failed = True
+            return None
+        try:
+            self._native = NativeScheduler(self.compiled)
+        except NativeUnavailable:
+            self._native_failed = True
+            return None
+        return self._native
 
     # --- lifecycle -----------------------------------------------------------
     def reset(self) -> None:

@@ -1,0 +1,211 @@
+"""ctypes bindings for the native detailed-timing scheduler.
+
+The hot host-side component — the per-timestep NoC event sweep
+(reference ``src/schedule.cpp:208-611``) — is implemented in C++
+(``native/scheduler.cpp``) and parallelized across the timesteps of a device
+chunk with OpenMP. This module compiles the shared library on demand (g++,
+cached by mtime) and exposes a :class:`NativeScheduler` bound to one compiled
+chip. Falls back cleanly: importers should catch ``NativeUnavailable``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SRC = _REPO_ROOT / "native" / "scheduler.cpp"
+_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_LIB = _BUILD_DIR / "libsanafe_sched.so"
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _compile_library() -> None:
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-fopenmp", str(_SRC), "-o", str(_LIB),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except FileNotFoundError as exc:
+        raise NativeUnavailable("g++ not available") from exc
+    except subprocess.CalledProcessError as exc:
+        raise NativeUnavailable(
+            f"native scheduler build failed:\n{exc.stderr}"
+        ) from exc
+
+
+def get_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SRC.exists():
+        raise NativeUnavailable(f"missing source {_SRC}")
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        _compile_library()
+    lib = ctypes.CDLL(str(_LIB))
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.sched_create.restype = ctypes.c_int64
+    lib.sched_create.argtypes = (
+        [ctypes.c_int32] * 7
+        + [i32p] * 10
+        + [f64p] * 3
+        + [i32p] * 2
+    )
+    lib.sched_destroy.restype = None
+    lib.sched_destroy.argtypes = [ctypes.c_int64]
+    lib.sched_run_chunk.restype = ctypes.c_int32
+    lib.sched_run_chunk.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, u8p, f64p, ctypes.c_double, f64p,
+        ctypes.c_int32,
+    ]
+    lib.sched_run_timestep_trace.restype = ctypes.c_int32
+    lib.sched_run_timestep_trace.argtypes = [
+        ctypes.c_int64, u8p, f64p, ctypes.c_double, f64p,
+        i32p, i32p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p,
+    ]
+    _lib = lib
+    return lib
+
+
+def _i32(arr) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype=np.int32)
+
+
+def _f64(arr) -> np.ndarray:
+    return np.ascontiguousarray(arr, dtype=np.float64)
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeScheduler:
+    """One compiled chip registered with the native scheduler library."""
+
+    def __init__(self, compiled):
+        lib = get_library()
+        c = compiled
+        n_axons = len(c.axon_src_slot)
+        core_lo = np.full(c.n_cores, -1, dtype=np.int32)
+        core_hi = np.full(c.n_cores, -1, dtype=np.int32)
+        for core in c.cores:
+            if core.neuron_slots:
+                core_lo[core.core_id] = core.neuron_slots[0]
+                core_hi[core.core_id] = core.neuron_slots[-1]
+
+        self._keep = [
+            _i32(c.axon_src_slot), _i32(c.axon_src_core),
+            _i32(c.axon_dest_core), _i32(c.axon_src_x), _i32(c.axon_src_y),
+            _i32(c.axon_dest_x), _i32(c.axon_dest_y),
+            _i32(c.axon_src_core_offset), _i32(c.axon_hops),
+            _i32(c.axon_ordinal_in_neuron),
+            _f64(c.axon_latency_out), _f64(c.axon_const_processing_latency),
+            _f64(c.axon_min_hop_delay), core_lo, core_hi,
+        ]
+        arch = c.arch
+        links_per_tile = 4 + max(arch.max_cores_per_tile, 1)
+        args = (
+            [
+                np.int32(arch.noc_width_in_tiles),
+                np.int32(arch.noc_height_in_tiles),
+                np.int32(links_per_tile),
+                np.int32(arch.noc_buffer_size),
+                np.int32(c.n_cores),
+                np.int32(n_axons),
+                np.int32(c.n_neurons),
+            ]
+            + [_ptr(a, ctypes.c_int32) for a in self._keep[:10]]
+            + [_ptr(a, ctypes.c_double) for a in self._keep[10:13]]
+            + [_ptr(a, ctypes.c_int32) for a in self._keep[13:]]
+        )
+        self._lib = lib
+        self._handle = lib.sched_create(*args)
+        self._n_axons = n_axons
+        self._n_neurons = c.n_neurons
+        self._n_cores = c.n_cores
+        self.compiled = compiled
+
+    def run_chunk(
+        self,
+        fired: np.ndarray,
+        gen_lat: np.ndarray,
+        sync_delay: float,
+        n_threads: int = 0,
+    ) -> np.ndarray:
+        """Detailed sim_time for T timesteps. fired: [T, A] bool/uint8,
+        gen_lat: [T, N] float64."""
+        fired = np.ascontiguousarray(fired, dtype=np.uint8)
+        gen_lat = _f64(gen_lat)
+        T = fired.shape[0]
+        sim_time = np.empty(T, dtype=np.float64)
+        rc = self._lib.sched_run_chunk(
+            self._handle, np.int32(T), _ptr(fired, ctypes.c_uint8),
+            _ptr(gen_lat, ctypes.c_double), float(sync_delay),
+            _ptr(sim_time, ctypes.c_double), np.int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError("native scheduler run_chunk failed")
+        return sim_time
+
+    def run_timestep_trace(
+        self, fired: np.ndarray, gen_lat: np.ndarray, sync_delay: float
+    ) -> tuple[float, dict[str, np.ndarray]]:
+        """One timestep, returning sim_time and per-message fields in
+        creation (core-major) order."""
+        fired = np.ascontiguousarray(fired, dtype=np.uint8)
+        gen_lat = _f64(gen_lat)
+        max_msgs = int(fired.sum()) + self._n_cores
+        out = {
+            "axon": np.empty(max_msgs, dtype=np.int32),
+            "src_core": np.empty(max_msgs, dtype=np.int32),
+            "generation_delay": np.empty(max_msgs, dtype=np.float64),
+            "processing_delay": np.empty(max_msgs, dtype=np.float64),
+            "network_delay": np.empty(max_msgs, dtype=np.float64),
+            "blocking_delay": np.empty(max_msgs, dtype=np.float64),
+            "sent_timestamp": np.empty(max_msgs, dtype=np.float64),
+            "received_timestamp": np.empty(max_msgs, dtype=np.float64),
+            "processed_timestamp": np.empty(max_msgs, dtype=np.float64),
+            "route_density": np.empty(max_msgs, dtype=np.float64),
+        }
+        sim_time = np.empty(1, dtype=np.float64)
+        count = self._lib.sched_run_timestep_trace(
+            self._handle, _ptr(fired, ctypes.c_uint8),
+            _ptr(gen_lat, ctypes.c_double), float(sync_delay),
+            _ptr(sim_time, ctypes.c_double),
+            _ptr(out["axon"], ctypes.c_int32),
+            _ptr(out["src_core"], ctypes.c_int32),
+            _ptr(out["generation_delay"], ctypes.c_double),
+            _ptr(out["processing_delay"], ctypes.c_double),
+            _ptr(out["network_delay"], ctypes.c_double),
+            _ptr(out["blocking_delay"], ctypes.c_double),
+            _ptr(out["sent_timestamp"], ctypes.c_double),
+            _ptr(out["received_timestamp"], ctypes.c_double),
+            _ptr(out["processed_timestamp"], ctypes.c_double),
+            _ptr(out["route_density"], ctypes.c_double),
+        )
+        if count < 0:
+            raise RuntimeError("native scheduler trace run failed")
+        return float(sim_time[0]), {k: v[:count] for k, v in out.items()}
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", -1) >= 0:
+                self._lib.sched_destroy(self._handle)
+        except Exception:
+            pass

@@ -517,7 +517,10 @@ def _timestep(prog: DeviceProgram, state, t):
         outputs["u_log"] = input_current[a["u_log_slots"]]
     if prog.record_fired_axons:
         outputs["fired_axons"] = fired_axon
-        outputs["neuron_gen_latency"] = neuron_lat
-        outputs["fired_neurons"] = fired
+        # 0=idle, 1=updated, 2=fired; the host recomputes per-neuron
+        # generation latencies in float64 from this for the scheduler.
+        outputs["neuron_status"] = (
+            updated_or_fired.astype(jnp.uint8) + fired.astype(jnp.uint8)
+        )
 
     return new_state, outputs

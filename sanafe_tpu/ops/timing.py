@@ -167,6 +167,78 @@ def build_timestep_messages(
     return messages, mid
 
 
+def records_from_native(
+    compiled: CompiledChip,
+    fields: dict[str, np.ndarray],
+    timestep: int,
+    mid_start: int,
+) -> tuple[list[list[MessageRecord]], int]:
+    """Convert the native scheduler's flat per-message field arrays (creation
+    order, core-major) into per-core MessageRecord lists with mids."""
+    c = compiled
+    messages: list[list[MessageRecord]] = [[] for _ in range(c.n_cores)]
+    mid = mid_start
+    axons = fields["axon"]
+    for k in range(len(axons)):
+        axon_id = int(axons[k])
+        src_core = int(fields["src_core"][k])
+        if axon_id >= 0:
+            src_slot = int(c.axon_src_slot[axon_id])
+            ref = c.neurons[src_slot]
+            core = c.cores[src_core]
+            rec = MessageRecord(
+                mid=mid,
+                timestep=timestep,
+                src_neuron_group=ref.group_name,
+                src_neuron_offset=ref.offset,
+                generation_delay=float(fields["generation_delay"][k]),
+                processing_delay=float(fields["processing_delay"][k]),
+                network_delay=float(fields["network_delay"][k]),
+                min_hop_delay=float(c.axon_min_hop_delay[axon_id]),
+                blocking_delay=float(fields["blocking_delay"][k]),
+                sent_timestamp=float(fields["sent_timestamp"][k]),
+                received_timestamp=float(fields["received_timestamp"][k]),
+                processed_timestamp=float(fields["processed_timestamp"][k]),
+                messages_along_route=float(fields["route_density"][k]),
+                spikes=int(c.axon_fanout[axon_id]),
+                hops=int(c.axon_hops[axon_id]),
+                src_x=int(c.axon_src_x[axon_id]),
+                src_y=int(c.axon_src_y[axon_id]),
+                dest_x=int(c.axon_dest_x[axon_id]),
+                dest_y=int(c.axon_dest_y[axon_id]),
+                src_tile_id=int(c.cores[src_core].tile_id),
+                src_core_id=src_core,
+                src_core_offset=int(c.axon_src_core_offset[axon_id]),
+                dest_tile_id=int(c.axon_dest_tile[axon_id]),
+                dest_core_id=int(c.axon_dest_core[axon_id]),
+                dest_core_offset=int(c.axon_dest_core_offset[axon_id]),
+                dest_axon_id=0,
+                placeholder=False,
+            )
+            mid += 1
+        else:
+            core = c.cores[src_core]
+            hi = core.neuron_slots[-1]
+            last_ref = c.neurons[hi]
+            tile = c.arch.tiles[core.tile_id]
+            rec = MessageRecord(
+                mid=-1,
+                timestep=timestep,
+                src_neuron_group=last_ref.group_name,
+                src_neuron_offset=last_ref.offset,
+                generation_delay=float(fields["generation_delay"][k]),
+                sent_timestamp=float(fields["sent_timestamp"][k]),
+                src_x=int(tile.x),
+                src_y=int(tile.y),
+                src_tile_id=core.tile_id,
+                src_core_id=src_core,
+                src_core_offset=core.offset_within_tile,
+                placeholder=True,
+            )
+        messages[src_core].append(rec)
+    return messages, mid
+
+
 class NocModel:
     """Tracked NoC state for the detailed timing model
     (src/schedule.hpp:171-204, src/schedule.cpp:294-611)."""
