@@ -54,7 +54,16 @@ struct ChipLayout {
     // per-core list of axon ids sourced from that core, ascending
     std::vector<int32_t> core_axon_start;  // size n_cores+1 into core_axons
     std::vector<int32_t> core_axons;
+    // per-neuron generation-latency components (float64 parity with the
+    // reference's accumulation in process_neuron, src/chip.cpp:710-736):
+    // lat(n) = base[n] + updated(n)*update[n] + fired(n)*spike[n]
+    std::vector<double> lat_base, lat_update, lat_spike;
 };
+
+// MSB-first bit lookup matching numpy packbits/unpackbits layout.
+inline bool get_bit(const uint8_t *bytes, int32_t i) {
+    return ((bytes[i >> 3] >> (7 - (i & 7))) & 1) != 0;
+}
 
 struct Msg {
     int32_t axon = -1;  // -1 => placeholder
@@ -218,6 +227,59 @@ void build_messages(const ChipLayout &L, const uint8_t *fired,
     }
 }
 
+// Packed-mask variant: fired/updated as MSB-first bitmaps over neuron slots.
+// Generation latencies are computed on the fly from the registered per-neuron
+// latency components, in float64.
+void build_messages_packed(const ChipLayout &L, const uint8_t *fired_bits,
+                           const uint8_t *updated_bits,
+                           std::vector<std::vector<Msg>> &queues) {
+    queues.assign(L.n_cores, {});
+    auto lat = [&](int32_t j) {
+        double v = L.lat_base[j];
+        if (get_bit(updated_bits, j)) v += L.lat_update[j];
+        if (get_bit(fired_bits, j)) v += L.lat_spike[j];
+        return v;
+    };
+    for (int core = 0; core < L.n_cores; ++core) {
+        const int32_t lo = L.core_slot_lo[core];
+        const int32_t hi = L.core_slot_hi[core];
+        if (lo < 0) continue;
+        auto &q = queues[core];
+        double acc = 0.0;
+        int32_t next_slot = lo;
+        const int32_t a_begin = L.core_axon_start[core];
+        const int32_t a_end = L.core_axon_start[core + 1];
+        for (int32_t ai = a_begin; ai < a_end; ++ai) {
+            const int32_t a = L.core_axons[ai];
+            if (!get_bit(fired_bits, L.src_slot[a])) continue;
+            if (L.ordinal[a] == 0) {
+                const int32_t s = L.src_slot[a];
+                for (int32_t j = next_slot; j <= s; ++j) acc += lat(j);
+                next_slot = s + 1;
+            }
+            Msg m;
+            m.axon = a;
+            m.src_core = core;
+            m.dest_core = L.dest_core[a];
+            m.gen_delay = acc + L.latency_out[a];
+            m.proc_delay = L.proc_delay[a];
+            m.min_hop_delay = L.min_hop_delay[a];
+            acc = 0.0;
+            q.push_back(m);
+        }
+        double remainder = 0.0;
+        for (int32_t j = next_slot; j <= hi; ++j) remainder += lat(j);
+        if (remainder != 0.0) {
+            Msg m;
+            m.axon = -1;
+            m.src_core = core;
+            m.dest_core = -1;
+            m.gen_delay = remainder;
+            q.push_back(m);
+        }
+    }
+}
+
 // One timestep's event sweep (src/schedule.cpp:208-292). Returns the final
 // timestamp (before the sync delay is added).
 double sweep_timestep(const ChipLayout &L,
@@ -313,7 +375,8 @@ int64_t sched_create(
     const int32_t *axon_hops, const int32_t *axon_ordinal,
     const double *axon_latency_out, const double *axon_proc_delay,
     const double *axon_min_hop_delay, const int32_t *core_slot_lo,
-    const int32_t *core_slot_hi) {
+    const int32_t *core_slot_hi, const double *neuron_lat_base,
+    const double *neuron_lat_update, const double *neuron_lat_spike) {
     auto *L = new ChipLayout();
     L->noc_w = noc_w;
     L->noc_h = noc_h;
@@ -343,6 +406,9 @@ int64_t sched_create(
     copy64(L->min_hop_delay, axon_min_hop_delay);
     L->core_slot_lo.assign(core_slot_lo, core_slot_lo + n_cores);
     L->core_slot_hi.assign(core_slot_hi, core_slot_hi + n_cores);
+    L->lat_base.assign(neuron_lat_base, neuron_lat_base + n_neurons);
+    L->lat_update.assign(neuron_lat_update, neuron_lat_update + n_neurons);
+    L->lat_spike.assign(neuron_lat_spike, neuron_lat_spike + n_neurons);
     // Axon ids are allocated core-major so a stable counting pass groups them.
     L->core_axon_start.assign(n_cores + 1, 0);
     for (int32_t a = 0; a < n_axons; ++a) {
@@ -407,6 +473,49 @@ int32_t sched_run_chunk(int64_t handle, int32_t T, const uint8_t *fired,
         build_messages(*L, fired + static_cast<size_t>(t) * L->n_axons,
                        gen_lat + static_cast<size_t>(t) * L->n_neurons,
                        queues);
+        sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+    }
+#endif
+    return 0;
+}
+
+// Packed-mask chunk runner: masks is [T, 2, mask_bytes] uint8 with plane 0 =
+// fired bits and plane 1 = updated bits (MSB-first per byte, numpy
+// packbits layout). Latencies are derived from the registered per-neuron
+// components in float64. Parallel across timesteps.
+int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
+                               const uint8_t *masks, int32_t mask_bytes,
+                               double sync_delay, double *sim_time,
+                               int32_t n_threads) {
+    ChipLayout *L;
+    {
+        std::lock_guard<std::mutex> lock(g_chips_mutex);
+        if (handle < 0 || handle >= static_cast<int64_t>(g_chips.size()) ||
+            g_chips[handle] == nullptr) {
+            return -1;
+        }
+        L = g_chips[handle];
+    }
+    const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel
+    {
+        std::vector<std::vector<Msg>> queues;
+#pragma omp for schedule(dynamic)
+        for (int32_t t = 0; t < T; ++t) {
+            const uint8_t *fired = masks + t * step_stride;
+            const uint8_t *updated = fired + mask_bytes;
+            build_messages_packed(*L, fired, updated, queues);
+            sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+        }
+    }
+#else
+    std::vector<std::vector<Msg>> queues;
+    for (int32_t t = 0; t < T; ++t) {
+        const uint8_t *fired = masks + t * step_stride;
+        const uint8_t *updated = fired + mask_bytes;
+        build_messages_packed(*L, fired, updated, queues);
         sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
     }
 #endif

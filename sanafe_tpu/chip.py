@@ -14,6 +14,7 @@ external Booksim2 NoC simulator is not part of this rebuild).
 
 from __future__ import annotations
 
+import jax
 import sys
 import time
 from dataclasses import dataclass, field
@@ -54,7 +55,7 @@ from .trace import (
 
 TIMING_MODELS = ("simple", "detailed", "cycle")
 HEARTBEAT_TIMESTEPS = 100  # src/chip.hpp:38
-DEFAULT_CHUNK = 256
+DEFAULT_CHUNK = 1024
 
 
 @dataclass
@@ -231,6 +232,8 @@ class SpikingChip:
 
         remaining = timesteps
         t0 = self.total_timesteps + 1
+        pending = None  # (lazy outputs, t0, length) — double buffering:
+        # chunk k's host-side processing overlaps chunk k+1's device work
         while remaining > 0:
             this_chunk = min(chunk, remaining)
             scan_key = (prog_key, this_chunk)
@@ -242,15 +245,20 @@ class SpikingChip:
             self._device_state, outputs = run_chunk(
                 self._device_state, np.int64(t0)
             )
-            outputs = {k: np.asarray(v) for k, v in outputs.items()}
             self.neuron_processing_wall += time.perf_counter() - device_start
-
-            self._process_chunk_outputs(
-                outputs, t0, this_chunk, timing_model, rd, heartbeat
-            )
+            if pending is not None:
+                self._process_chunk_outputs(
+                    pending[0], pending[1], pending[2], timing_model, rd,
+                    heartbeat,
+                )
+            pending = (outputs, t0, this_chunk)
             t0 += this_chunk
             remaining -= this_chunk
             self.total_timesteps += this_chunk
+        if pending is not None:
+            self._process_chunk_outputs(
+                pending[0], pending[1], pending[2], timing_model, rd, heartbeat
+            )
 
         # accumulate chip totals
         self.total_energy += rd.total_energy
@@ -334,88 +342,111 @@ class SpikingChip:
         traces = self._trace_states
         prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
 
+        # One stats tensor per chunk: [T, 11] = (spike_ops, packets, hops,
+        # updated, fired, synapse_e, dendrite_e, soma_e, network_e, total_e,
+        # sim_time) — consolidated on device to minimize link round-trips
+        fetch_start = time.perf_counter()
+        stats = np.asarray(outputs["stats"], dtype=np.float64)
+        self.message_processing_wall += time.perf_counter() - fetch_start
+        counters = np.round(stats[:, :5]).astype(np.int64)
+        energies = stats[:, 5:11]
         energy_start = time.perf_counter()
-        rd.spikes += int(outputs["spikes"].sum())
-        rd.packets_sent += int(outputs["packets"].sum())
-        self.total_messages_sent += int(outputs["packets"].sum())
-        rd.neurons_updated += int(outputs["neurons_updated"].sum())
-        rd.neurons_fired += int(outputs["neurons_fired"].sum())
-        rd.synapse_energy += float(outputs["synapse_energy"].sum())
-        rd.dendrite_energy += float(outputs["dendrite_energy"].sum())
-        rd.soma_energy += float(outputs["soma_energy"].sum())
-        rd.network_energy += float(outputs["network_energy"].sum())
-        rd.total_energy += float(outputs["total_energy"].sum())
+        packets_total = int(counters[:, 1].sum())
+        rd.spikes += int(counters[:, 0].sum())
+        rd.packets_sent += packets_total
+        self.total_messages_sent += packets_total
+        rd.neurons_updated += int(counters[:, 3].sum())
+        rd.neurons_fired += int(counters[:, 4].sum())
+        rd.synapse_energy += float(energies[:, 0].sum())
+        rd.dendrite_energy += float(energies[:, 1].sum())
+        rd.soma_energy += float(energies[:, 2].sum())
+        rd.network_energy += float(energies[:, 3].sum())
+        rd.total_energy += float(energies[:, 4].sum())
         self.energy_stats_wall += time.perf_counter() - energy_start
 
         # timing model
-        sim_times = np.asarray(outputs["sim_time"], dtype=np.float64)
+        sim_times = energies[:, 5]
         messages_by_step: list[Optional[list[list[MessageRecord]]]] = [
             None
         ] * length
         need_messages = traces["message"].sink.enabled
         if timing_model == "detailed" or need_messages:
-            sched_start = time.perf_counter()
-            fired_axons = outputs["fired_axons"]
-            # Recompute per-neuron generation latencies in float64 from the
-            # status flags (access + update + spike + neuron-phase dendrite
-            # costs), mirroring the accumulation in process_neuron
-            # (src/chip.cpp:710-736).
-            status = outputs["neuron_status"]
-            gen_latency = (
-                c.soma_lat_access[None, :]
-                + (status >= 1) * c.soma_lat_update[None, :]
-                + (status == 2) * c.soma_lat_spike[None, :]
-                + c.dendrite_in_neuron_phase[None, :]
-                * c.dendrite_lat_update[None, :]
+            fetch_start = time.perf_counter()
+            masks = np.asarray(outputs["masks_packed"])  # [T, 2, nbytes]
+            self.message_processing_wall += (
+                time.perf_counter() - fetch_start
             )
+            sched_start = time.perf_counter()
             native = self._get_native_scheduler()
             if (
                 timing_model == "detailed"
                 and not need_messages
                 and native is not None
             ):
-                sim_times = native.run_chunk(
-                    fired_axons, gen_latency, prog_sync
-                )
-            elif timing_model == "detailed" and native is not None:
-                detailed_times = np.zeros(length)
-                for i in range(length):
-                    sim_t, fields = native.run_timestep_trace(
-                        fired_axons[i], gen_latency[i], prog_sync
-                    )
-                    detailed_times[i] = sim_t
-                    msgs, self._next_mid = records_from_native(
-                        c, fields, t0 + i, getattr(self, "_next_mid", 0)
-                    )
-                    messages_by_step[i] = msgs
-                sim_times = detailed_times
+                # Fast path: the C++ scheduler consumes the packed masks
+                # directly (bit lookups + float64 latency reconstruction),
+                # OpenMP-parallel across the chunk's timesteps.
+                sim_times = native.run_chunk_packed(masks, prog_sync)
             else:
-                # pure-Python fallback (exact same algorithm)
-                detailed_times = np.zeros(length)
-                for i in range(length):
-                    msgs, self._next_mid = build_timestep_messages(
-                        c,
-                        fired_axons[i],
-                        gen_latency[i],
-                        t0 + i,
-                        getattr(self, "_next_mid", 0),
-                    )
-                    if timing_model == "detailed":
-                        detailed_times[i] = schedule_timestep_detailed(
-                            c, msgs, prog_sync
+                # Unpack masks host-side for the message-trace and
+                # pure-Python paths
+                n = c.n_neurons
+                fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
+                    :, :n
+                ].astype(bool)
+                updated_n = np.unpackbits(masks[:, 1, :], axis=1)[
+                    :, :n
+                ].astype(bool)
+                fired_axons = fired_n[:, c.axon_src_slot]
+                # Per-neuron generation latencies in float64 (access +
+                # update + spike + neuron-phase dendrite costs), mirroring
+                # process_neuron (src/chip.cpp:710-736).
+                gen_latency = (
+                    c.soma_lat_access[None, :]
+                    + updated_n * c.soma_lat_update[None, :]
+                    + fired_n * c.soma_lat_spike[None, :]
+                    + c.dendrite_in_neuron_phase[None, :]
+                    * c.dendrite_lat_update[None, :]
+                )
+                if timing_model == "detailed" and native is not None:
+                    detailed_times = np.zeros(length)
+                    for i in range(length):
+                        sim_t, fields = native.run_timestep_trace(
+                            fired_axons[i], gen_latency[i], prog_sync
                         )
-                    else:
-                        schedule_timestep_simple_messages(msgs)
-                    messages_by_step[i] = msgs
-                if timing_model == "detailed":
+                        detailed_times[i] = sim_t
+                        msgs, self._next_mid = records_from_native(
+                            c, fields, t0 + i, getattr(self, "_next_mid", 0)
+                        )
+                        messages_by_step[i] = msgs
                     sim_times = detailed_times
+                else:
+                    # pure-Python fallback (exact same algorithm)
+                    detailed_times = np.zeros(length)
+                    for i in range(length):
+                        msgs, self._next_mid = build_timestep_messages(
+                            c,
+                            fired_axons[i],
+                            gen_latency[i],
+                            t0 + i,
+                            getattr(self, "_next_mid", 0),
+                        )
+                        if timing_model == "detailed":
+                            detailed_times[i] = schedule_timestep_detailed(
+                                c, msgs, prog_sync
+                            )
+                        else:
+                            schedule_timestep_simple_messages(msgs)
+                        messages_by_step[i] = msgs
+                    if timing_model == "detailed":
+                        sim_times = detailed_times
             self.scheduler_wall += time.perf_counter() - sched_start
         rd.sim_time += float(sim_times.sum())
 
         # --- trace writing ---
         spike_state = traces["spike"]
         if spike_state.sink.enabled:
-            spikes_log = outputs["spike_log"]
+            spikes_log = np.asarray(outputs["spike_log"])
             for i in range(length):
                 t = t0 + i
                 fired_rows = np.nonzero(spikes_log[i])[0]
@@ -432,7 +463,7 @@ class SpikingChip:
                     )
         potential_state = traces["potential"]
         if potential_state.sink.enabled:
-            pot_log = outputs["potential_log"]
+            pot_log = np.asarray(outputs["potential_log"])
             for i in range(length):
                 t = t0 + i
                 if potential_state.sink.stream and pot_log.shape[1] > 0:
@@ -446,7 +477,7 @@ class SpikingChip:
                     )
         neuron_state = traces["neuron"]
         if neuron_state.sink.enabled:
-            u_log = outputs["u_log"]
+            u_log = np.asarray(outputs["u_log"])
             for i in range(length):
                 t = t0 + i
                 if neuron_state.sink.stream and u_log.shape[1] > 0:
@@ -464,17 +495,17 @@ class SpikingChip:
                 t = t0 + i
                 values = {
                     "timestep": t,
-                    "fired": int(outputs["neurons_fired"][i]),
-                    "updated": int(outputs["neurons_updated"][i]),
-                    "packets": int(outputs["packets"][i]),
-                    "hops": int(outputs["hops"][i]),
-                    "spikes": int(outputs["spikes"][i]),
+                    "fired": int(counters[i, 4]),
+                    "updated": int(counters[i, 3]),
+                    "packets": int(counters[i, 1]),
+                    "hops": int(counters[i, 2]),
+                    "spikes": int(counters[i, 0]),
                     "sim_time": float(sim_times[i]),
-                    "synapse_energy": float(outputs["synapse_energy"][i]),
-                    "dendrite_energy": float(outputs["dendrite_energy"][i]),
-                    "soma_energy": float(outputs["soma_energy"][i]),
-                    "network_energy": float(outputs["network_energy"][i]),
-                    "total_energy": float(outputs["total_energy"][i]),
+                    "synapse_energy": float(energies[i, 0]),
+                    "dendrite_energy": float(energies[i, 1]),
+                    "soma_energy": float(energies[i, 2]),
+                    "network_energy": float(energies[i, 3]),
+                    "total_energy": float(energies[i, 4]),
                 }
                 if perf_state.sink.stream:
                     perf_state.sink.write(

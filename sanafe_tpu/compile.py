@@ -314,6 +314,20 @@ class CompiledChip:
     u_log_slots: np.ndarray = None
     u_log_labels: list[tuple[str, int]] = field(default_factory=list)
 
+    # --- per-neuron aggregates over outgoing axons/edges (exact because all
+    # of a neuron's axons fire together; lets the device kernel avoid any
+    # per-axon/per-edge reductions in the hot path) ---
+    neuron_n_axons: np.ndarray = None
+    neuron_axon_hops: np.ndarray = None
+    neuron_axon_energy: np.ndarray = None  # hop + axon_in + axon_out energy
+    neuron_axon_latency_out: np.ndarray = None
+    neuron_spike_ops: np.ndarray = None  # sum of axon fanouts
+    neuron_synapse_energy: np.ndarray = None
+    neuron_msg_dendrite_energy: np.ndarray = None
+    # [N, n_cores] f32: per-message processing latency summed by dest core
+    # (None when N*C is too large; kernel falls back to a segment reduction)
+    neuron_proc_lat_core: np.ndarray = None
+
     max_delay: int = ACCUMULATOR_MAX_DELAY
     has_delay_dendrite: bool = False
     has_multitap: bool = False
@@ -659,12 +673,20 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             compiled.tap_space_constants[ref.slot, : taps - 1] = space_constants
 
     # ---- 3. map connections (groups in name order; src/chip.cpp:334-380) ----
-    # edge tuples: (pre_ref, post_ref, synapse_unit, weight, delay, tap, order)
-    edges_by_preneuron: dict[int, list] = {ref.slot: [] for ref in compiled.neurons}
+    # Object edges (Connection instances) walk a Python loop; bulk hyperedges
+    # (BulkEdges, from the conv2d/dense fast paths) stay as numpy arrays.
+    # Both merge into flat per-edge arrays for vectorized axon allocation.
+    obj_pre: list[int] = []
+    obj_post: list[int] = []
+    obj_weight: list[float] = []
+    obj_delay: list[int] = []
+    obj_tap: list[int] = []
+    obj_unit: list[int] = []
+    obj_seq: list[int] = []
     for group_name in sorted(net.groups):
         group = net.groups[group_name]
         for neuron in group.neurons:
-            for con in neuron.edges_out:
+            for seq_in_neuron, con in enumerate(neuron.edges_out):
                 pre_ref = neuron_lookup[
                     (con.pre_neuron.group_name, con.pre_neuron.neuron_offset)
                 ]
@@ -703,66 +725,141 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
                         == DENDRITE_MODEL_MULTITAP
                     ):
                         tap = attribute.as_int()
-                edges_by_preneuron[pre_ref.slot].append(
-                    (post_ref, synapse_unit, weight, delay, tap)
-                )
+                obj_pre.append(pre_ref.slot)
+                obj_post.append(post_ref.slot)
+                obj_weight.append(weight)
+                obj_delay.append(delay)
+                obj_tap.append(tap)
+                obj_unit.append(synapse_unit.unit_id)
+                obj_seq.append(seq_in_neuron)
 
-    # ---- 4. axon allocation (src/chip.cpp:382-408,1263-1391) ----
-    axon_src_slot: list[int] = []
-    axon_dest_core: list[int] = []
-    axon_ordinal_in_neuron: list[int] = []
-    edge_src: list[int] = []
-    edge_dest: list[int] = []
-    edge_axon: list[int] = []
-    edge_weight: list[float] = []
-    edge_unit: list[int] = []
-    edge_delay: list[int] = []
-    edge_tap: list[int] = []
+    # Per-slot default synapse unit (for bulk edges, which always use the
+    # post neuron's default; conv2d/dense edges have no per-edge hw name)
+    default_syn_unit = np.full(n, -1, dtype=np.int32)
+    for ref in compiled.neurons:
+        group_neuron = net.groups[ref.group_name].neurons[ref.offset]
+        unit = ref.core.find_unit(
+            group_neuron.default_synapse_hw_name, is_synapse=True
+        )
+        default_syn_unit[ref.slot] = unit.unit_id
 
-    for core in cores:
-        for pre_slot in core.neuron_slots:
-            pre_edges = edges_by_preneuron[pre_slot]
-            if not pre_edges:
-                continue
-            dest_cores = sorted({post.core.core_id for post, *_ in pre_edges})
-            axon_of_core = {}
-            for axon_ordinal, dest_core_id in enumerate(dest_cores):
-                axon_id = len(axon_src_slot)
-                axon_of_core[dest_core_id] = axon_id
-                axon_src_slot.append(pre_slot)
-                axon_dest_core.append(dest_core_id)
-                axon_ordinal_in_neuron.append(axon_ordinal)
-            # Edges appended grouped by axon, preserving edges_out order
-            # within each axon
-            for dest_core_id in dest_cores:
-                axon_id = axon_of_core[dest_core_id]
-                for post, synapse_unit, weight, delay, tap in pre_edges:
-                    if post.core.core_id != dest_core_id:
-                        continue
-                    edge_src.append(pre_slot)
-                    edge_dest.append(post.slot)
-                    edge_axon.append(axon_id)
-                    edge_weight.append(weight)
-                    edge_unit.append(synapse_unit.unit_id)
-                    edge_delay.append(delay)
-                    edge_tap.append(tap)
+    bulk_parts: list[tuple] = []
+    bulk_seq_base = 1 << 30  # bulk edges order after a neuron's object edges
+    running = 0
+    for group_name in sorted(net.groups):
+        group = net.groups[group_name]
+        if not getattr(group, "bulk_edges", None):
+            continue
+        src_slots_arr = np.asarray(compiled.groups[group_name])
+        for bulk in group.bulk_edges:
+            dest_slots_arr = np.asarray(compiled.groups[bulk.dest_group_name])
+            k = len(bulk)
+            pre = src_slots_arr[bulk.src_idx]
+            post = dest_slots_arr[bulk.dest_idx]
+            weight = np.zeros(k, dtype=f64)
+            for key in ("w", "weight"):
+                if key in bulk.attributes:
+                    values, fwd_syn, _ = bulk.attributes[key]
+                    if fwd_syn:
+                        weight = values.astype(f64)
+            delay = np.zeros(k, dtype=np.int32)
+            for key in ("delay", "d"):
+                if key in bulk.attributes:
+                    values, _, fwd_den = bulk.attributes[key]
+                    if fwd_den:
+                        mask = (
+                            compiled.dendrite_model[post]
+                            == DENDRITE_MODEL_ACCUMULATOR_DELAY
+                        )
+                        delay = np.where(
+                            mask, values.astype(np.int32), 0
+                        )
+                        if delay.max(initial=0) > ACCUMULATOR_MAX_DELAY:
+                            raise ValueError("Error: delay > max delay")
+            tap = np.zeros(k, dtype=np.int32)
+            if "tap" in bulk.attributes:
+                values, _, fwd_den = bulk.attributes["tap"]
+                if fwd_den:
+                    mask = (
+                        compiled.dendrite_model[post]
+                        == DENDRITE_MODEL_MULTITAP
+                    )
+                    tap = np.where(mask, values.astype(np.int32), 0)
+            unit_ids = default_syn_unit[post]
+            seq = bulk_seq_base + running + np.arange(k, dtype=np.int64)
+            running += k
+            bulk_parts.append((pre, post, weight, delay, tap, unit_ids, seq))
+            counts = np.bincount(unit_ids, minlength=len(compiled.units))
+            for unit in compiled.units:
+                add = int(counts[unit.unit_id])
+                if add:
+                    unit.connection_count += add
+                    unit.is_used = True
 
-    a = len(axon_src_slot)
-    e = len(edge_src)
+    def concat(obj_list, parts_idx, dtype):
+        arrays = [np.asarray(obj_list, dtype=dtype)] + [
+            part[parts_idx].astype(dtype) for part in bulk_parts
+        ]
+        return np.concatenate(arrays) if arrays else np.zeros(0, dtype=dtype)
+
+    all_pre = concat(obj_pre, 0, np.int64)
+    all_post = concat(obj_post, 1, np.int32)
+    all_weight = concat(obj_weight, 2, f64)
+    all_delay = concat(obj_delay, 3, np.int32)
+    all_tap = concat(obj_tap, 4, np.int32)
+    all_unit = concat(obj_unit, 5, np.int32)
+    all_seq = concat(obj_seq, 6, np.int64)
+
+    # ---- 4. axon allocation (src/chip.cpp:382-408,1263-1391), vectorized.
+    # Reference order: cores in id order, neurons in slot order, dest cores
+    # ascending, edges in creation order. Slots are core-major, so a stable
+    # lexsort by (pre_slot, dest_core, seq) reproduces it exactly.
+    e = len(all_pre)
+    if e:
+        dest_core_per_edge = compiled.core_id[all_post].astype(np.int64)
+        order = np.lexsort((all_seq, dest_core_per_edge, all_pre))
+        all_pre = all_pre[order]
+        all_post = all_post[order]
+        all_weight = all_weight[order]
+        all_delay = all_delay[order]
+        all_tap = all_tap[order]
+        all_unit = all_unit[order]
+        dest_core_per_edge = dest_core_per_edge[order]
+        pair_key = all_pre * np.int64(len(cores)) + dest_core_per_edge
+        new_axon = np.empty(e, dtype=bool)
+        new_axon[0] = True
+        new_axon[1:] = pair_key[1:] != pair_key[:-1]
+        edge_axon_arr = np.cumsum(new_axon) - 1
+        axon_starts = np.nonzero(new_axon)[0]
+        axon_src = all_pre[axon_starts].astype(np.int32)
+        axon_dest = dest_core_per_edge[axon_starts].astype(np.int32)
+        # ordinal of each axon within its pre neuron
+        new_pre = np.empty(len(axon_starts), dtype=bool)
+        new_pre[0] = True
+        new_pre[1:] = axon_src[1:] != axon_src[:-1]
+        first_axon_of_pre = np.maximum.accumulate(
+            np.where(new_pre, np.arange(len(axon_starts)), 0)
+        )
+        axon_ordinal = np.arange(len(axon_starts)) - first_axon_of_pre
+    else:
+        edge_axon_arr = np.zeros(0, dtype=np.int64)
+        axon_src = np.zeros(0, dtype=np.int32)
+        axon_dest = np.zeros(0, dtype=np.int32)
+        axon_ordinal = np.zeros(0, dtype=np.int64)
+
+    a = len(axon_src)
     compiled.n_axons = a
     compiled.n_edges = e
-    compiled.axon_src_slot = np.asarray(axon_src_slot, dtype=np.int32)
-    compiled.axon_dest_core = np.asarray(axon_dest_core, dtype=np.int32)
-    compiled.axon_ordinal_in_neuron = np.asarray(
-        axon_ordinal_in_neuron, dtype=np.int32
-    )
-    compiled.edge_src_slot = np.asarray(edge_src, dtype=np.int32)
-    compiled.edge_dest_slot = np.asarray(edge_dest, dtype=np.int32)
-    compiled.edge_axon = np.asarray(edge_axon, dtype=np.int32)
-    compiled.edge_weight = np.asarray(edge_weight, dtype=f64)
-    compiled.edge_synapse_unit_id = np.asarray(edge_unit, dtype=np.int32)
-    compiled.edge_delay = np.asarray(edge_delay, dtype=np.int32)
-    compiled.edge_tap = np.asarray(edge_tap, dtype=np.int32)
+    compiled.axon_src_slot = axon_src
+    compiled.axon_dest_core = axon_dest
+    compiled.axon_ordinal_in_neuron = axon_ordinal.astype(np.int32)
+    compiled.edge_src_slot = all_pre.astype(np.int32)
+    compiled.edge_dest_slot = all_post
+    compiled.edge_axon = edge_axon_arr.astype(np.int32)
+    compiled.edge_weight = all_weight
+    compiled.edge_synapse_unit_id = all_unit
+    compiled.edge_delay = all_delay
+    compiled.edge_tap = all_tap
     compiled.has_delay_dendrite = bool(
         np.any(
             compiled.dendrite_model[compiled.edge_dest_slot]
@@ -770,13 +867,14 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
         )
     ) if e else False
 
-    unit_by_id = {unit.unit_id: unit for unit in compiled.units}
-    compiled.edge_synapse_energy = np.asarray(
-        [unit_by_id[u].energy_process_spike for u in edge_unit], dtype=f64
-    )
-    compiled.edge_synapse_latency = np.asarray(
-        [unit_by_id[u].latency_process_spike for u in edge_unit], dtype=f64
-    )
+    n_units = len(compiled.units)
+    unit_energy_spike = np.zeros(n_units, dtype=f64)
+    unit_latency_spike = np.zeros(n_units, dtype=f64)
+    for unit in compiled.units:
+        unit_energy_spike[unit.unit_id] = unit.energy_process_spike
+        unit_latency_spike[unit.unit_id] = unit.latency_process_spike
+    compiled.edge_synapse_energy = unit_energy_spike[all_unit]
+    compiled.edge_synapse_latency = unit_latency_spike[all_unit]
     # Message-phase dendrite costs per edge (synapse always runs in the
     # message pipeline; dendrite joins it unless the buffer sits before it)
     dest_slots = compiled.edge_dest_slot if e else np.zeros(0, dtype=np.int32)
@@ -900,6 +998,46 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     compiled.potential_log_labels = pot_labels
     compiled.u_log_slots = np.asarray(u_slots, dtype=np.int32)
     compiled.u_log_labels = u_labels
+
+    # ---- 7. per-neuron aggregates over outgoing axons/edges ----
+    src_slots = compiled.axon_src_slot
+    def by_neuron(values, dtype=f64):
+        out = np.zeros(n, dtype=dtype)
+        if a:
+            np.add.at(out, src_slots, values)
+        return out
+
+    compiled.neuron_n_axons = by_neuron(
+        np.ones(a, dtype=np.int32), np.int32
+    )
+    compiled.neuron_axon_hops = by_neuron(compiled.axon_hops, np.int64)
+    compiled.neuron_axon_energy = by_neuron(
+        compiled.axon_hop_energy
+        + compiled.axon_energy_in
+        + compiled.axon_energy_out
+    )
+    compiled.neuron_axon_latency_out = by_neuron(compiled.axon_latency_out)
+    compiled.neuron_spike_ops = by_neuron(compiled.axon_fanout, np.int64)
+    edge_syn_e_per_axon = np.zeros(a, dtype=f64)
+    edge_den_e_per_axon = np.zeros(a, dtype=f64)
+    if e:
+        np.add.at(
+            edge_syn_e_per_axon, compiled.edge_axon, compiled.edge_synapse_energy
+        )
+        np.add.at(
+            edge_den_e_per_axon, compiled.edge_axon, compiled.edge_dendrite_energy
+        )
+    compiled.neuron_synapse_energy = by_neuron(edge_syn_e_per_axon)
+    compiled.neuron_msg_dendrite_energy = by_neuron(edge_den_e_per_axon)
+    if n * len(cores) <= 64_000_000:
+        proc_lat = np.zeros((n, len(cores)), dtype=np.float32)
+        if a:
+            np.add.at(
+                proc_lat,
+                (src_slots, compiled.axon_dest_core),
+                compiled.axon_const_processing_latency.astype(np.float32),
+            )
+        compiled.neuron_proc_lat_core = proc_lat
 
     return compiled
 

@@ -66,6 +66,7 @@ def get_library() -> ctypes.CDLL:
         + [i32p] * 10
         + [f64p] * 3
         + [i32p] * 2
+        + [f64p] * 3
     )
     lib.sched_destroy.restype = None
     lib.sched_destroy.argtypes = [ctypes.c_int64]
@@ -73,6 +74,11 @@ def get_library() -> ctypes.CDLL:
     lib.sched_run_chunk.argtypes = [
         ctypes.c_int64, ctypes.c_int32, u8p, f64p, ctypes.c_double, f64p,
         ctypes.c_int32,
+    ]
+    lib.sched_run_chunk_packed.restype = ctypes.c_int32
+    lib.sched_run_chunk_packed.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
+        ctypes.c_double, f64p, ctypes.c_int32,
     ]
     lib.sched_run_timestep_trace.restype = ctypes.c_int32
     lib.sched_run_timestep_trace.argtypes = [
@@ -109,6 +115,12 @@ class NativeScheduler:
                 core_lo[core.core_id] = core.neuron_slots[0]
                 core_hi[core.core_id] = core.neuron_slots[-1]
 
+        # Per-neuron generation-latency components (float64), mirroring
+        # process_neuron's accumulation (src/chip.cpp:710-736)
+        lat_base = _f64(
+            c.soma_lat_access
+            + c.dendrite_in_neuron_phase * c.dendrite_lat_update
+        )
         self._keep = [
             _i32(c.axon_src_slot), _i32(c.axon_src_core),
             _i32(c.axon_dest_core), _i32(c.axon_src_x), _i32(c.axon_src_y),
@@ -117,6 +129,7 @@ class NativeScheduler:
             _i32(c.axon_ordinal_in_neuron),
             _f64(c.axon_latency_out), _f64(c.axon_const_processing_latency),
             _f64(c.axon_min_hop_delay), core_lo, core_hi,
+            lat_base, _f64(c.soma_lat_update), _f64(c.soma_lat_spike),
         ]
         arch = c.arch
         links_per_tile = 4 + max(arch.max_cores_per_tile, 1)
@@ -132,7 +145,8 @@ class NativeScheduler:
             ]
             + [_ptr(a, ctypes.c_int32) for a in self._keep[:10]]
             + [_ptr(a, ctypes.c_double) for a in self._keep[10:13]]
-            + [_ptr(a, ctypes.c_int32) for a in self._keep[13:]]
+            + [_ptr(a, ctypes.c_int32) for a in self._keep[13:15]]
+            + [_ptr(a, ctypes.c_double) for a in self._keep[15:]]
         )
         self._lib = lib
         self._handle = lib.sched_create(*args)
@@ -161,6 +175,27 @@ class NativeScheduler:
         )
         if rc != 0:
             raise RuntimeError("native scheduler run_chunk failed")
+        return sim_time
+
+    def run_chunk_packed(
+        self,
+        masks_packed: np.ndarray,
+        sync_delay: float,
+        n_threads: int = 0,
+    ) -> np.ndarray:
+        """Detailed sim_time for T timesteps from the device's bit-packed
+        masks tensor [T, 2, mask_bytes] (plane 0 fired, plane 1 updated)."""
+        masks_packed = np.ascontiguousarray(masks_packed, dtype=np.uint8)
+        T, planes, mask_bytes = masks_packed.shape
+        assert planes == 2
+        sim_time = np.empty(T, dtype=np.float64)
+        rc = self._lib.sched_run_chunk_packed(
+            self._handle, np.int32(T), _ptr(masks_packed, ctypes.c_uint8),
+            np.int32(mask_bytes), float(sync_delay),
+            _ptr(sim_time, ctypes.c_double), np.int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError("native scheduler packed run failed")
         return sim_time
 
     def run_timestep_trace(

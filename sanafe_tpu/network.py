@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
+
 from .arch import Architecture, CoreAddress, CoreConfiguration
 from .attributes import Attribute, is_reserved_neuron_attribute
 
@@ -180,6 +182,54 @@ class Neuron:
         )
 
 
+@dataclass
+class BulkEdges:
+    """A group-level hyperedge lowered to flat numpy arrays instead of
+    per-edge ``Connection`` objects — the fast path for conv2d/dense
+    generators at scale (a DVS-gesture net has 3.5M edges; building Python
+    objects for each dominates load time). Attribute arrays are keyed by
+    name with (values, forward_to_synapse, forward_to_dendrite) tuples."""
+
+    dest_group_name: str
+    src_idx: "np.ndarray"  # [E] int32 offsets into the source group
+    dest_idx: "np.ndarray"  # [E] int32 offsets into the dest group
+    attributes: dict[str, tuple["np.ndarray", bool, bool]] = field(
+        default_factory=dict
+    )
+
+    def __len__(self) -> int:
+        return len(self.src_idx)
+
+
+# Hyperedge calls below this many edges build per-edge Connection objects
+# (keeping the reference's introspectable edges_out API); at or above it
+# they lower straight to BulkEdges arrays.
+BULK_EDGE_THRESHOLD = 16384
+
+
+def _attribute_lists_to_arrays(
+    attribute_lists: dict[str, list[Attribute]],
+) -> Optional[dict[str, tuple["np.ndarray", bool, bool]]]:
+    """Convert per-edge attribute lists to numpy arrays when every value is
+    a plain number; returns None if the lists need the object path."""
+    arrays: dict[str, tuple[np.ndarray, bool, bool]] = {}
+    for key, attribute_list in attribute_lists.items():
+        values = []
+        fwd_syn = True
+        fwd_den = True
+        for attribute in attribute_list:
+            value = attribute.value
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float)
+            ):
+                return None
+            values.append(value)
+            fwd_syn = attribute.forward_to_synapse
+            fwd_den = attribute.forward_to_dendrite
+        arrays[key] = (np.asarray(values, dtype=np.float64), fwd_syn, fwd_den)
+    return arrays
+
+
 class NeuronGroup:
     def __init__(
         self,
@@ -190,6 +240,7 @@ class NeuronGroup:
     ):
         self.name = group_name
         self.default_neuron_config = default_config or NeuronConfiguration()
+        self.bulk_edges: list[BulkEdges] = []
         self.neurons = [
             Neuron(offset, net, group_name, self.default_neuron_config)
             for offset in range(neuron_count)
@@ -219,6 +270,35 @@ class NeuronGroup:
         """All-to-all connect; lists index src*n_dest+dest
         (src/network.cpp:567-605)."""
         n_dest = len(dest_group.neurons)
+        n_src = len(self.neurons)
+        arrays = (
+            _attribute_lists_to_arrays(attribute_lists)
+            if n_src * n_dest >= BULK_EDGE_THRESHOLD
+            else None
+        )
+        if arrays is not None:
+            src_idx = np.repeat(
+                np.arange(n_src, dtype=np.int32), n_dest
+            )
+            dest_idx = np.tile(np.arange(n_dest, dtype=np.int32), n_src)
+            list_idx = src_idx.astype(np.int64) * n_dest + dest_idx
+            edge_attrs = {}
+            for key, (values, fwd_syn, fwd_den) in arrays.items():
+                if len(values) < n_src * n_dest:
+                    raise ValueError(
+                        f"Not enough entries defined for attribute "
+                        f"({len(values)}): {key}"
+                    )
+                edge_attrs[key] = (values[list_idx], fwd_syn, fwd_den)
+            self.bulk_edges.append(
+                BulkEdges(
+                    dest_group_name=dest_group.name,
+                    src_idx=src_idx,
+                    dest_idx=dest_idx,
+                    attributes=edge_attrs,
+                )
+            )
+            return
         for source_index, source in enumerate(self.neurons):
             for dest_index, dest in enumerate(dest_group.neurons):
                 list_index = source_index * n_dest + dest_index
@@ -300,6 +380,63 @@ class NeuronGroup:
                 f"Expected {expected_output} neurons in dest group for "
                 f"convolution but there are {len(dest_group.neurons)} neurons."
             )
+
+        n_conv_edges = (
+            expected_output
+            * c.input_channels
+            * c.kernel_height
+            * c.kernel_width
+        )
+        arrays = (
+            _attribute_lists_to_arrays(attribute_lists)
+            if n_conv_edges >= BULK_EDGE_THRESHOLD
+            else None
+        )
+        if arrays is not None:
+            # Vectorized lowering (identical index formulas, creation order
+            # = (c_out, y_out, x_out, c_in, y_f, x_f) scan; Appendix-A
+            # parity with src/network.cpp:377-528)
+            co, yo, xo, ci, yf, xf = [
+                g.ravel()
+                for g in np.meshgrid(
+                    np.arange(out_c),
+                    np.arange(out_h),
+                    np.arange(out_w),
+                    np.arange(c.input_channels),
+                    np.arange(c.kernel_height),
+                    np.arange(c.kernel_width),
+                    indexing="ij",
+                )
+            ]
+            src_idx = (
+                ci * c.input_width * c.input_height
+                + (yo * c.stride_height + yf) * c.input_width
+                + (xo * c.stride_width + xf)
+            )
+            dest_idx = co * out_w * out_h + yo * out_w + xo
+            filter_idx = (
+                yf * c.kernel_width * c.input_channels * c.kernel_count
+                + xf * c.input_channels * c.kernel_count
+                + ci * c.kernel_count
+                + co
+            )
+            edge_attrs = {}
+            for key, (values, fwd_syn, fwd_den) in arrays.items():
+                if len(values) <= filter_idx.max(initial=0):
+                    raise ValueError(
+                        f"Not enough entries defined for attribute "
+                        f"({len(values)}): {key}"
+                    )
+                edge_attrs[key] = (values[filter_idx], fwd_syn, fwd_den)
+            self.bulk_edges.append(
+                BulkEdges(
+                    dest_group_name=dest_group.name,
+                    src_idx=src_idx.astype(np.int32),
+                    dest_idx=dest_idx.astype(np.int32),
+                    attributes=edge_attrs,
+                )
+            )
+            return
 
         for c_out in range(out_c):
             for y_out in range(out_h):

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +43,77 @@ NEURON_STATUS_IDLE = 0
 NEURON_STATUS_UPDATED = 1
 NEURON_STATUS_FIRED = 2
 
+# Spike-delivery tile size for the block-dense matmul path. TPU
+# scatters/gathers execute ~serially (≈8-30 ns/element), so per-edge
+# scatter over millions of edges is the wrong shape for the hardware;
+# delivery instead runs as a batch of dense [TILE, TILE] matmuls on the
+# MXU over the (src-tile, dest-tile) blocks that contain edges.
+DELIVERY_TILE = 256
+
 
 def _segment_sum(values, segment_ids, num_segments):
     return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
+
+
+@dataclass
+class BlockDelivery:
+    """Static block-sparse connectivity for the MXU delivery path."""
+
+    tile: int
+    n_tiles: int
+    n_pad: int
+    src_tiles: jnp.ndarray  # [B] int32, static block source tile ids
+    dest_tiles: jnp.ndarray  # [B] int32, sorted ascending
+    weights: jnp.ndarray  # [B, tile, tile] f32, summed parallel edges
+    counts: jnp.ndarray  # [B, tile, tile] int8, edge counts (saturated)
+
+
+def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
+    """Lower the edge CSR into dense (src-tile, dest-tile) weight blocks.
+
+    Usable whenever every dendrite is a plain accumulator (no per-edge delay
+    slots or tap routing); models with per-edge state keep the scatter path.
+    """
+    if c.has_delay_dendrite or c.has_multitap:
+        return None
+    n = c.n_neurons
+    tile = min(DELIVERY_TILE, max(8, 1 << (n - 1).bit_length()))
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+    if c.n_edges == 0:
+        return BlockDelivery(
+            tile=tile,
+            n_tiles=n_tiles,
+            n_pad=n_pad,
+            src_tiles=jnp.zeros(0, jnp.int32),
+            dest_tiles=jnp.zeros(0, jnp.int32),
+            weights=jnp.zeros((0, tile, tile), jnp.float32),
+            counts=jnp.zeros((0, tile, tile), jnp.int8),
+        )
+    src = c.axon_src_slot[c.edge_axon].astype(np.int64)
+    dst = c.edge_dest_slot.astype(np.int64)
+    src_t = src // tile
+    dst_t = dst // tile
+    key = dst_t * n_tiles + src_t  # dest-major so segment ids sort ascending
+    uniq, block_of_edge = np.unique(key, return_inverse=True)
+    B = len(uniq)
+    weights = np.zeros((B, tile, tile), dtype=np.float32)
+    np.add.at(
+        weights,
+        (block_of_edge, src % tile, dst % tile),
+        c.edge_weight.astype(np.float32),
+    )
+    counts16 = np.zeros((B, tile, tile), dtype=np.int16)
+    np.add.at(counts16, (block_of_edge, src % tile, dst % tile), 1)
+    return BlockDelivery(
+        tile=tile,
+        n_tiles=n_tiles,
+        n_pad=n_pad,
+        src_tiles=jnp.asarray((uniq % n_tiles).astype(np.int32)),
+        dest_tiles=jnp.asarray((uniq // n_tiles).astype(np.int32)),
+        weights=jnp.asarray(weights),
+        counts=jnp.asarray(np.minimum(counts16, 127).astype(np.int8)),
+    )
 
 
 @dataclass
@@ -60,6 +128,7 @@ class DeviceProgram:
     record_spikes: bool
     record_u: bool
     sync_delay: float
+    block: Optional[BlockDelivery] = None
 
     def init_state(self) -> dict[str, jnp.ndarray]:
         c = self.compiled
@@ -81,14 +150,23 @@ class DeviceProgram:
         return state
 
     def make_scan(self, chunk_len: int):
-        """Return a jitted function (state, t0) -> (state', outputs) scanning
-        ``chunk_len`` timesteps. Timestep indices are 1-based."""
-        step = partial(_timestep, self)
+        """Return a function (state, t0) -> (state', outputs) scanning
+        ``chunk_len`` timesteps. Timestep indices are 1-based. The chip
+        arrays are passed as jit arguments (not baked-in constants) so large
+        connectivity blocks stay device-resident buffers instead of being
+        inlined into the HLO."""
 
         @jax.jit
-        def run_chunk(state, t0):
+        def run_chunk_inner(arrays, state, t0):
             ts = t0 + jnp.arange(chunk_len, dtype=jnp.int64)
-            return jax.lax.scan(step, state, ts)
+
+            def body(s, t):
+                return _timestep(self, arrays, s, t)
+
+            return jax.lax.scan(body, state, ts)
+
+        def run_chunk(state, t0):
+            return run_chunk_inner(self.arrays, state, t0)
 
         return run_chunk
 
@@ -168,11 +246,32 @@ def make_device_program(
             if c.n_edges
             else np.zeros(0, dtype=np.int32)
         ),
+        # per-neuron aggregates (see compile.py §7)
+        "neuron_n_axons": jnp.asarray(c.neuron_n_axons),
+        "neuron_axon_hops": jnp.asarray(c.neuron_axon_hops.astype(np.int32)),
+        "neuron_axon_energy": farr(c.neuron_axon_energy),
+        "neuron_axon_latency_out": farr(c.neuron_axon_latency_out),
+        "neuron_spike_ops": jnp.asarray(
+            c.neuron_spike_ops.astype(np.int32)
+        ),
+        "neuron_synapse_energy": farr(c.neuron_synapse_energy),
+        "neuron_msg_dendrite_energy": farr(c.neuron_msg_dendrite_energy),
         # traces
         "spike_log_slots": jnp.asarray(c.spike_log_slots),
         "potential_log_slots": jnp.asarray(c.potential_log_slots),
         "u_log_slots": jnp.asarray(c.u_log_slots),
     }
+    if c.neuron_proc_lat_core is not None:
+        arrays["neuron_proc_lat_core"] = farr(c.neuron_proc_lat_core)
+        core_onehot = np.zeros((c.n_neurons, c.n_cores), dtype=np.float32)
+        core_onehot[np.arange(c.n_neurons), c.core_id] = 1.0
+        arrays["core_onehot"] = farr(core_onehot)
+    block = build_block_delivery(c)
+    if block is not None:
+        arrays["block_weights"] = jnp.asarray(block.weights, dtype=dtype)
+        arrays["block_counts"] = block.counts
+        arrays["block_src_tiles"] = block.src_tiles
+        arrays["block_dest_tiles"] = block.dest_tiles
     sync_delay = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
     return DeviceProgram(
         compiled=c,
@@ -183,6 +282,7 @@ def make_device_program(
         record_spikes=record_spikes,
         record_u=record_u,
         sync_delay=sync_delay,
+        block=block,
     )
 
 
@@ -320,10 +420,10 @@ def _input_update(prog: DeviceProgram, a, t):
     return spike | rate_spike
 
 
-def _timestep(prog: DeviceProgram, state, t):
+def _timestep(prog: DeviceProgram, arrays, state, t):
     """One full hardware timestep (neuron phase → axon/message phase →
     energy/counter/timing roll-up)."""
-    a = prog.arrays
+    a = arrays
     c = prog.compiled
     dtype = prog.dtype
     n = c.n_neurons
@@ -352,15 +452,183 @@ def _timestep(prog: DeviceProgram, state, t):
     updated = (is_lif & upd_lif) | (is_tn & upd_tn)
     updated_or_fired = updated | fired
 
-    # --- axon phase: messages (src/chip.cpp:802-834) ---
-    fired_axon = fired[a["axon_src_slot"]]
-    fired_axon_f = fired_axon.astype(dtype)
-    packets = jnp.sum(fired_axon, dtype=jnp.int64)
-    total_hops = jnp.sum(
-        jnp.where(fired_axon, a["axon_hops"], 0), dtype=jnp.int64
+    fired_f = fired.astype(dtype)
+
+    # --- axon phase counters: per-neuron aggregates replace per-axon
+    # reductions (a neuron's axons all fire together; src/chip.cpp:802-834)
+    packets = jnp.sum(fired * a["neuron_n_axons"], dtype=jnp.int64)
+    total_hops = jnp.sum(fired * a["neuron_axon_hops"], dtype=jnp.int64)
+
+    # --- message phase: spike delivery ---
+    if prog.block is not None:
+        # MXU block-dense matmul path (no per-edge gathers/scatters)
+        blk = prog.block
+        fired_pad = jnp.zeros(blk.n_pad, dtype=dtype).at[:n].set(fired_f)
+        tiles_f = fired_pad.reshape(blk.n_tiles, blk.tile)
+        if blk.weights.shape[0] > 0:
+            xs = tiles_f[a["block_src_tiles"]]  # [B, tile] static row gather
+            y = jnp.einsum(
+                "bi,bij->bj", xs, a["block_weights"],
+                preferred_element_type=dtype,
+            )
+            acc = jax.ops.segment_sum(
+                y,
+                a["block_dest_tiles"],
+                num_segments=blk.n_tiles,
+                indices_are_sorted=True,
+            )
+            buffer_current = acc.reshape(-1)[:n]
+            fired_pad_i8 = (
+                jnp.zeros(blk.n_pad, dtype=jnp.int8)
+                .at[:n]
+                .set(fired.astype(jnp.int8))
+            )
+            xi = fired_pad_i8.reshape(blk.n_tiles, blk.tile)[
+                a["block_src_tiles"]
+            ]
+            cnt = jax.lax.dot_general(
+                xi,
+                a["block_counts"],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            cnt_acc = jax.ops.segment_sum(
+                cnt,
+                a["block_dest_tiles"],
+                num_segments=blk.n_tiles,
+                indices_are_sorted=True,
+            )
+            any_input = cnt_acc.reshape(-1)[:n] > 0
+        else:
+            buffer_current = jnp.zeros(n, dtype=dtype)
+            any_input = jnp.zeros(n, dtype=bool)
+        state_delay_ring = None
+        state_tap_voltages = None
+    else:
+        buffer_current, any_input, state_delay_ring, state_tap_voltages = (
+            _scatter_delivery(prog, a, c, state, fired, dtype, n)
+        )
+
+    # --- counters & energy roll-up from per-neuron aggregates
+    # (src/chip.cpp:1028-1051,1171-1261) ---
+    spike_ops = jnp.sum(fired * a["neuron_spike_ops"], dtype=jnp.int64)
+    neurons_updated = jnp.sum(updated_or_fired, dtype=jnp.int64)
+    neurons_fired = jnp.sum(fired, dtype=jnp.int64)
+
+    zero_ = zero
+    synapse_energy = jnp.sum(fired_f * a["neuron_synapse_energy"])
+    dendrite_energy = jnp.sum(
+        fired_f * a["neuron_msg_dendrite_energy"]
+    ) + jnp.sum(
+        jnp.where(
+            a["dendrite_in_neuron_phase"], a["dendrite_energy_update"], zero_
+        )
+    )
+    soma_energy = (
+        jnp.sum(a["soma_energy_access"])
+        + jnp.sum(jnp.where(updated_or_fired, a["soma_energy_update"], zero_))
+        + jnp.sum(jnp.where(fired, a["soma_energy_spike"], zero_))
+    )
+    network_energy = jnp.sum(fired_f * a["neuron_axon_energy"])
+    total_energy = (
+        synapse_energy + dendrite_energy + soma_energy + network_energy
     )
 
-    # --- message phase: spike scatter over the edge CSR ---
+    # --- simple timing model (src/schedule.cpp:61-102) ---
+    neuron_lat = (
+        a["soma_lat_access"]
+        + jnp.where(updated_or_fired, a["soma_lat_update"], zero_)
+        + jnp.where(fired, a["soma_lat_spike"], zero_)
+        + jnp.where(
+            a["dendrite_in_neuron_phase"], a["dendrite_lat_update"], zero_
+        )
+    )
+    n_cores = c.n_cores
+    gen_lat = neuron_lat + fired_f * a["neuron_axon_latency_out"]
+    if "core_onehot" in a:
+        neuron_lat_core = gen_lat @ a["core_onehot"]
+        msg_lat_core = fired_f @ a["neuron_proc_lat_core"]
+    else:
+        neuron_lat_core = _segment_sum(gen_lat, a["core_id"], n_cores)
+        fired_axon_f = fired_f[a["axon_src_slot"]]
+        msg_lat_core = _segment_sum(
+            fired_axon_f * a["axon_const_processing_latency"],
+            a["axon_dest_core"],
+            n_cores,
+        )
+    sim_time = jnp.maximum(
+        jnp.max(neuron_lat_core), jnp.max(msg_lat_core)
+    ) + jnp.asarray(prog.sync_delay, dtype=dtype)
+
+    new_state = {
+        "potential": potential,
+        "input_current": input_current,
+        "refractory": refractory,
+        "buffer_current": buffer_current,
+        "buffer_valid": any_input,
+    }
+    if state_delay_ring is not None:
+        new_state["delay_ring"] = state_delay_ring
+    if state_tap_voltages is not None:
+        new_state["tap_voltages"] = state_tap_voltages
+
+    # Outputs are consolidated into as few tensors as possible: each fetched
+    # array pays host-link latency (and the link can stall), and bool
+    # tensors take a pathological transfer path. All per-step counters fit
+    # exactly in float32 (< 2^24), so one stats tensor carries everything.
+    outputs = {
+        "stats": jnp.stack(
+            [
+                spike_ops.astype(jnp.float32),
+                packets.astype(jnp.float32),
+                total_hops.astype(jnp.float32),
+                neurons_updated.astype(jnp.float32),
+                neurons_fired.astype(jnp.float32),
+                synapse_energy.astype(jnp.float32),
+                dendrite_energy.astype(jnp.float32),
+                soma_energy.astype(jnp.float32),
+                network_energy.astype(jnp.float32),
+                total_energy.astype(jnp.float32),
+                sim_time.astype(jnp.float32),
+            ]
+        ),
+    }
+    if prog.record_spikes:
+        outputs["spike_log"] = fired[a["spike_log_slots"]].astype(jnp.uint8)
+    if prog.record_potentials:
+        outputs["potential_log"] = potential[a["potential_log_slots"]]
+    if prog.record_u:
+        outputs["u_log"] = input_current[a["u_log_slots"]]
+    if prog.record_fired_axons:
+        # Bit-packed fired + updated masks in one tensor; the host unpacks
+        # and recomputes per-neuron generation latencies in float64.
+        outputs["masks_packed"] = jnp.stack(
+            [_packbits(fired), _packbits(updated_or_fired)]
+        )
+
+    return new_state, outputs
+
+
+_BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], dtype=np.uint8)
+
+
+def _packbits(bits):
+    """Pack a 1-D bool vector into uint8 bytes (np.unpackbits layout)."""
+    n = bits.shape[0]
+    n_pad = -(-n // 8) * 8
+    padded = jnp.zeros(n_pad, dtype=jnp.uint8).at[:n].set(
+        bits.astype(jnp.uint8)
+    )
+    return (
+        padded.reshape(-1, 8) * jnp.asarray(_BIT_WEIGHTS)
+    ).sum(axis=1, dtype=jnp.uint8)
+
+
+def _scatter_delivery(prog, a, c, state, fired, dtype, n):
+    """Per-edge scatter delivery, used for models with per-edge state
+    (delay rings, dendritic taps). Small nets only; large conv nets take
+    the block-matmul path."""
+    fired_axon = fired[a["axon_src_slot"]]
     active_edge = fired_axon[a["edge_axon"]]
     active_edge_f = active_edge.astype(dtype)
     contribution = a["edge_weight"] * active_edge_f
@@ -439,88 +707,4 @@ def _timestep(prog: DeviceProgram, state, t):
     else:
         state_tap_voltages = None
 
-    # --- counters & energy roll-up (src/chip.cpp:1028-1051,1171-1261) ---
-    spike_ops = jnp.sum(active_edge, dtype=jnp.int64)
-    neurons_updated = jnp.sum(updated_or_fired, dtype=jnp.int64)
-    neurons_fired = jnp.sum(fired, dtype=jnp.int64)
-
-    synapse_energy = jnp.sum(a["edge_synapse_energy"] * active_edge_f)
-    dendrite_energy = jnp.sum(
-        a["edge_dendrite_energy"] * active_edge_f
-    ) + jnp.sum(
-        jnp.where(a["dendrite_in_neuron_phase"], a["dendrite_energy_update"], zero)
-    )
-    soma_energy = (
-        jnp.sum(a["soma_energy_access"])
-        + jnp.sum(jnp.where(updated_or_fired, a["soma_energy_update"], zero))
-        + jnp.sum(jnp.where(fired, a["soma_energy_spike"], zero))
-    )
-    network_energy = jnp.sum(
-        fired_axon_f
-        * (a["axon_hop_energy"] + a["axon_energy_in"] + a["axon_energy_out"])
-    )
-    total_energy = synapse_energy + dendrite_energy + soma_energy + network_energy
-
-    # --- simple timing model (src/schedule.cpp:61-102) ---
-    neuron_lat = (
-        a["soma_lat_access"]
-        + jnp.where(updated_or_fired, a["soma_lat_update"], zero)
-        + jnp.where(fired, a["soma_lat_spike"], zero)
-        + jnp.where(a["dendrite_in_neuron_phase"], a["dendrite_lat_update"], zero)
-    )
-    n_cores = c.n_cores
-    neuron_lat_core = _segment_sum(neuron_lat, a["core_id"], n_cores)
-    neuron_lat_core = neuron_lat_core + _segment_sum(
-        fired_axon_f * a["axon_latency_out"], a["axon_src_core"], n_cores
-    )
-    msg_lat_core = _segment_sum(
-        fired_axon_f * a["axon_const_processing_latency"],
-        a["axon_dest_core"],
-        n_cores,
-    )
-    sim_time = jnp.maximum(
-        jnp.max(neuron_lat_core), jnp.max(msg_lat_core)
-    ) + jnp.asarray(prog.sync_delay, dtype=dtype)
-
-    new_state = {
-        "potential": potential,
-        "input_current": input_current,
-        "refractory": refractory,
-        "buffer_current": buffer_current,
-        "buffer_valid": any_input,
-    }
-    if state_delay_ring is not None:
-        new_state["delay_ring"] = state_delay_ring
-    if state_tap_voltages is not None:
-        new_state["tap_voltages"] = state_tap_voltages
-
-    outputs = {
-        "spikes": spike_ops,
-        "packets": packets,
-        "hops": total_hops,
-        "neurons_updated": neurons_updated,
-        "neurons_fired": neurons_fired,
-        "synapse_energy": synapse_energy,
-        "dendrite_energy": dendrite_energy,
-        "soma_energy": soma_energy,
-        "network_energy": network_energy,
-        "total_energy": total_energy,
-        "sim_time": sim_time,
-        "neuron_lat_core": neuron_lat_core,
-        "msg_lat_core": msg_lat_core,
-    }
-    if prog.record_spikes:
-        outputs["spike_log"] = fired[a["spike_log_slots"]]
-    if prog.record_potentials:
-        outputs["potential_log"] = potential[a["potential_log_slots"]]
-    if prog.record_u:
-        outputs["u_log"] = input_current[a["u_log_slots"]]
-    if prog.record_fired_axons:
-        outputs["fired_axons"] = fired_axon
-        # 0=idle, 1=updated, 2=fired; the host recomputes per-neuron
-        # generation latencies in float64 from this for the scheduler.
-        outputs["neuron_status"] = (
-            updated_or_fired.astype(jnp.uint8) + fired.astype(jnp.uint8)
-        )
-
-    return new_state, outputs
+    return buffer_current, any_input, state_delay_ring, state_tap_voltages

@@ -632,6 +632,19 @@ def write_network_yaml(path: str | Path, net: SpikingNetwork) -> None:
             run_start = run_end + 1
     lines.append("  edges:")
     for group in net.groups.values():
+        # Bulk hyperedges (vectorized conv2d/dense) expand to single edges
+        # on save, matching the reference's per-edge serialization
+        for bulk in getattr(group, "bulk_edges", []):  # noqa: B007
+            for k in range(len(bulk)):
+                attrs = {
+                    key: float(values[k])
+                    for key, (values, _, _) in bulk.attributes.items()
+                }
+                description = (
+                    f"{group.name}.{int(bulk.src_idx[k])}"
+                    f" -> {bulk.dest_group_name}.{int(bulk.dest_idx[k])}"
+                )
+                lines.append(f"    - {description}: {_format_value(attrs)}")
         for neuron in group.neurons:
             for edge in neuron.edges_out:
                 attrs: dict[str, Any] = {}
