@@ -7,13 +7,20 @@ float64, matching the reference's C++ doubles.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may export JAX_PLATFORMS=axon (the real
+# TPU tunnel), which is slow to compile against and float32-only. Tests use
+# the virtual 8-device CPU mesh and float64 for numerical parity with the
+# reference's C++ doubles.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
 
 import pathlib
 
