@@ -242,8 +242,9 @@ class SpikingChip:
                 run_chunk = prog.make_scan(this_chunk)
                 self._scan_cache[scan_key] = run_chunk
             device_start = time.perf_counter()
+            feeds = self._build_feeds(this_chunk)
             self._device_state, outputs = run_chunk(
-                self._device_state, np.int64(t0)
+                self._device_state, np.int64(t0), feeds
             )
             self.neuron_processing_wall += time.perf_counter() - device_start
             if pending is not None:
@@ -541,6 +542,49 @@ class SpikingChip:
             for t in range(t0, t0 + length):
                 if t % heartbeat == 0:
                     print(f"*** Time-step {t} ***")
+
+    def _build_feeds(self, length: int) -> dict:
+        """Per-chunk host-generated stochastic inputs: TrueNorth LFSR draws
+        (glibc rand replica) and Poisson input spikes (mt19937 replica).
+        Streams persist across sim() calls, matching the reference's
+        process-lifetime generators (src/models.cpp:745-760,883-888)."""
+        c = self.compiled
+        feeds: dict = {}
+        if c.tn_noise_slots is not None and len(c.tn_noise_slots):
+            from .utils.rng import GlibcRand
+
+            rand = getattr(self, "_tn_rand", None)
+            if rand is None:
+                rand = self._tn_rand = GlibcRand(1)
+            masks = c.tn_noise_masks
+            k = len(masks)
+            values = np.empty((length, k), dtype=np.float64)
+            for t in range(length):
+                for j in range(k):
+                    values[t, j] = float(rand.next() & int(masks[j]))
+            feeds["tn_noise"] = values
+        if c.has_poisson:
+            from .utils.rng import MT19937
+
+            rngs = getattr(self, "_input_rngs", None)
+            if rngs is None:
+                rngs = self._input_rngs = {
+                    seed: MT19937(seed) for seed, _ in c.input_units
+                }
+            total = sum(len(members) for _, members in c.input_units)
+            spikes = np.zeros((length, total), dtype=bool)
+            col = 0
+            for seed, members in c.input_units:
+                rng = rngs[seed]
+                probs = c.input_poisson[members]
+                for t in range(length):
+                    for j in range(len(members)):
+                        draw = rng.uniform_real()
+                        if probs[j] > draw:
+                            spikes[t, col + j] = True
+                col += len(members)
+            feeds["poisson"] = spikes
+        return feeds
 
     def _get_native_scheduler(self):
         """Build (once) the C++ detailed-timing scheduler for this chip;

@@ -328,6 +328,23 @@ class CompiledChip:
     # (None when N*C is too large; kernel falls back to a segment reduction)
     neuron_proc_lat_core: np.ndarray = None
 
+    # --- stochastic model support (see utils/rng.py) ---
+    # Loihi LIF file-stream noise: per-neuron indexing into a flat masked
+    # value array (consumed per unit in slot order each step)
+    lif_noise_start: np.ndarray = None
+    lif_noise_len: np.ndarray = None
+    lif_noise_stride: np.ndarray = None
+    lif_noise_rank: np.ndarray = None
+    lif_noise_values: np.ndarray = None
+    # TrueNorth LFSR threshold noise: slots consuming one glibc rand() draw
+    # per timestep, in consumption (slot) order, + their masks
+    tn_noise_slots: np.ndarray = None
+    tn_noise_masks: np.ndarray = None
+    # Poisson inputs: (mt19937 seed, member slots) per input unit; every
+    # input neuron consumes one uniform draw per step from its unit's gen
+    input_units: list = field(default_factory=list)
+    has_poisson: bool = False
+
     max_delay: int = ACCUMULATOR_MAX_DELAY
     has_delay_dendrite: bool = False
     has_multitap: bool = False
@@ -1039,7 +1056,85 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             )
         compiled.neuron_proc_lat_core = proc_lat
 
+    # ---- 8. stochastic model support ----
+    _build_stochastic_arrays(compiled)
+
     return compiled
+
+
+def _build_stochastic_arrays(compiled: CompiledChip) -> None:
+    """Lower noise streams / LFSR masks / Poisson generators into dense
+    arrays (reference: src/models.cpp:578-651, 745-760, 863-903)."""
+    from .utils.rng import mask_loihi_noise
+
+    n = compiled.n_neurons
+    compiled.lif_noise_start = np.zeros(n, dtype=np.int32)
+    compiled.lif_noise_len = np.zeros(n, dtype=np.int32)
+    compiled.lif_noise_stride = np.ones(n, dtype=np.int32)
+    compiled.lif_noise_rank = np.zeros(n, dtype=np.int32)
+    value_parts: list[np.ndarray] = []
+    cursor = 0
+
+    unit_members: dict[int, list[int]] = {}
+    for ref in compiled.neurons:
+        unit_members.setdefault(ref.soma_unit.unit_id, []).append(ref.slot)
+
+    for unit in compiled.units:
+        if not (unit.implements_soma and unit.noise_file):
+            continue
+        members = unit_members.get(unit.unit_id, [])
+        if not members:
+            continue
+        try:
+            with open(unit.noise_file) as stream:
+                raw = [
+                    int(line.split()[0])
+                    for line in stream
+                    if line.strip()
+                ]
+        except OSError as exc:
+            raise RuntimeError(
+                f"Failed to open noise stream: {unit.noise_file}"
+            ) from exc
+        values = np.asarray(
+            [mask_loihi_noise(v, unit.noise_bits) for v in raw],
+            dtype=np.float64,
+        )
+        stride = len(members)
+        for rank, slot in enumerate(sorted(members)):
+            compiled.lif_noise_start[slot] = cursor
+            compiled.lif_noise_len[slot] = values.size
+            compiled.lif_noise_stride[slot] = stride
+            compiled.lif_noise_rank[slot] = rank
+        value_parts.append(values)
+        cursor += values.size
+    compiled.lif_noise_values = (
+        np.concatenate(value_parts)
+        if value_parts
+        else np.zeros(1, dtype=np.float64)
+    )
+
+    tn_mask = (compiled.soma_model == SOMA_MODEL_TRUENORTH) & (
+        compiled.random_range_mask != 0
+    )
+    compiled.tn_noise_slots = np.nonzero(tn_mask)[0].astype(np.int32)
+    compiled.tn_noise_masks = compiled.random_range_mask[
+        compiled.tn_noise_slots
+    ].astype(np.int64)
+
+    compiled.input_units = []
+    for unit in compiled.units:
+        if unit.spec.soma_model_id != SOMA_MODEL_INPUT:
+            continue
+        members = sorted(unit_members.get(unit.unit_id, []))
+        if members:
+            compiled.input_units.append(
+                (unit.input_instance, np.asarray(members, dtype=np.int32))
+            )
+    compiled.has_poisson = bool(
+        compiled.input_units
+        and np.any(compiled.input_poisson > 0.0)
+    )
 
 
 def _apply_lif_attribute(

@@ -157,16 +157,17 @@ class DeviceProgram:
         inlined into the HLO."""
 
         @jax.jit
-        def run_chunk_inner(arrays, state, t0):
+        def run_chunk_inner(arrays, state, t0, feeds):
             ts = t0 + jnp.arange(chunk_len, dtype=jnp.int64)
 
-            def body(s, t):
-                return _timestep(self, arrays, s, t)
+            def body(s, xs):
+                t, step_feeds = xs
+                return _timestep(self, arrays, s, t, step_feeds)
 
-            return jax.lax.scan(body, state, ts)
+            return jax.lax.scan(body, state, (ts, feeds))
 
-        def run_chunk(state, t0):
-            return run_chunk_inner(self.arrays, state, t0)
+        def run_chunk(state, t0, feeds=None):
+            return run_chunk_inner(self.arrays, state, t0, feeds or {})
 
         return run_chunk
 
@@ -261,6 +262,18 @@ def make_device_program(
         "potential_log_slots": jnp.asarray(c.potential_log_slots),
         "u_log_slots": jnp.asarray(c.u_log_slots),
     }
+    if c.lif_noise_values is not None and np.any(c.lif_noise_len > 0):
+        arrays["lif_noise_start"] = jnp.asarray(c.lif_noise_start)
+        arrays["lif_noise_len"] = jnp.asarray(c.lif_noise_len)
+        arrays["lif_noise_stride"] = jnp.asarray(c.lif_noise_stride)
+        arrays["lif_noise_rank"] = jnp.asarray(c.lif_noise_rank)
+        arrays["lif_noise_values"] = farr(c.lif_noise_values)
+    if c.tn_noise_slots is not None and len(c.tn_noise_slots):
+        arrays["tn_noise_slots"] = jnp.asarray(c.tn_noise_slots)
+    if c.has_poisson:
+        arrays["poisson_slots"] = jnp.asarray(
+            np.concatenate([members for _, members in c.input_units])
+        )
     if c.neuron_proc_lat_core is not None:
         arrays["neuron_proc_lat_core"] = farr(c.neuron_proc_lat_core)
         core_onehot = np.zeros((c.n_neurons, c.n_cores), dtype=np.float32)
@@ -307,6 +320,20 @@ def _lif_update(prog: DeviceProgram, a, state, valid, current, t):
     # 64ths fixed-point quantization, truncating toward zero
     # (src/models.cpp:447-455)
     v = jnp.trunc(v * 64.0) / 64.0
+    if "lif_noise_values" in a:
+        # Replayed noise stream (src/models.cpp:578-651): per unit, each
+        # member consumes one masked value per step in slot order
+        idx = (t - 1).astype(jnp.int32) * a["lif_noise_stride"] + a[
+            "lif_noise_rank"
+        ]
+        has_noise = a["lif_noise_len"] > 0
+        wrapped = jnp.where(
+            has_noise, idx % jnp.maximum(a["lif_noise_len"], 1), 0
+        )
+        noise = a["lif_noise_values"][
+            a["lif_noise_start"] + wrapped
+        ] * has_noise.astype(prog.dtype)
+        v = v + noise
 
     in_refractory = refractory > 0
     active = ~in_refractory
@@ -350,11 +377,13 @@ def _lif_update(prog: DeviceProgram, a, state, valid, current, t):
     return v, u, refractory, updated, fired
 
 
-def _truenorth_update(prog: DeviceProgram, a, state, valid, current):
+def _truenorth_update(prog: DeviceProgram, a, state, valid, current,
+                      tn_noise=None):
     """TrueNorthModel::update vectorized (src/models.cpp:799-830).
 
-    LFSR threshold noise (random_mask) is not yet modeled on device; nets
-    using it should run with random_mask=0 for now.
+    ``tn_noise`` carries per-step LFSR draws (glibc rand masked host-side);
+    the noisy value is used only for threshold comparisons — resets apply
+    to the stored potential (src/models.cpp:745-796).
     """
     dtype = prog.dtype
     v = state["potential"]
@@ -372,7 +401,8 @@ def _truenorth_update(prog: DeviceProgram, a, state, valid, current):
     v = jnp.where(a["leak_towards_zero"], leak_tz, v + a["leak"])
     v = v + a["bias"] + jnp.where(valid, current, zero)
 
-    fired = v >= a["threshold"]
+    v_cmp = v if tn_noise is None else v + tn_noise
+    fired = v_cmp >= a["threshold"]
     rm = a["reset_mode"]
     v_after = jnp.where(fired & (rm == int(NeuronResetMode.HARD)), a["reset"], v)
     v_after = jnp.where(
@@ -381,7 +411,7 @@ def _truenorth_update(prog: DeviceProgram, a, state, valid, current):
     v_after = jnp.where(
         fired & (rm == int(NeuronResetMode.SATURATE)), a["threshold"], v_after
     )
-    reverse = (~fired) & (v <= a["reverse_threshold"])
+    reverse = (~fired) & (v_cmp <= a["reverse_threshold"])
     rrm = a["reverse_reset_mode"]
     v_after = jnp.where(
         reverse & (rrm == int(NeuronResetMode.HARD)), a["reverse_reset"], v_after
@@ -420,9 +450,11 @@ def _input_update(prog: DeviceProgram, a, t):
     return spike | rate_spike
 
 
-def _timestep(prog: DeviceProgram, arrays, state, t):
+def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     """One full hardware timestep (neuron phase → axon/message phase →
-    energy/counter/timing roll-up)."""
+    energy/counter/timing roll-up). ``feeds`` carries per-step host inputs
+    (TrueNorth LFSR draws, Poisson spikes)."""
+    feeds = feeds or {}
     a = arrays
     c = prog.compiled
     dtype = prog.dtype
@@ -439,8 +471,23 @@ def _timestep(prog: DeviceProgram, arrays, state, t):
     v_lif, u_lif, refractory, upd_lif, fired_lif = _lif_update(
         prog, a, state, valid, current, t
     )
-    v_tn, upd_tn, fired_tn = _truenorth_update(prog, a, state, valid, current)
+    tn_noise = None
+    if "tn_noise" in feeds:
+        tn_noise = (
+            jnp.zeros(n, dtype=dtype)
+            .at[a["tn_noise_slots"]]
+            .set(feeds["tn_noise"].astype(dtype))
+        )
+    v_tn, upd_tn, fired_tn = _truenorth_update(
+        prog, a, state, valid, current, tn_noise
+    )
     fired_input = _input_update(prog, a, t)
+    if "poisson" in feeds:
+        fired_input = fired_input | (
+            jnp.zeros(n, dtype=bool)
+            .at[a["poisson_slots"]]
+            .set(feeds["poisson"])
+        )
 
     potential = jnp.where(is_lif, v_lif, jnp.where(is_tn, v_tn, state["potential"]))
     input_current = jnp.where(is_lif, u_lif, state["input_current"])
