@@ -32,6 +32,7 @@ from .models import (
     ModelSpec,
     SOMA_MODEL_INPUT,
     SOMA_MODEL_LIF,
+    SOMA_MODEL_PLUGIN_BASE,
     SOMA_MODEL_TRUENORTH,
     DENDRITE_MODEL_ACCUMULATOR,
     DENDRITE_MODEL_ACCUMULATOR_DELAY,
@@ -345,6 +346,11 @@ class CompiledChip:
     input_units: list = field(default_factory=list)
     has_poisson: bool = False
 
+    # --- Python plugin soma models (models/__init__.py register_soma_model):
+    # specs used by this chip + their per-neuron parameter arrays
+    plugin_specs: list = field(default_factory=list)
+    plugin_params: dict = field(default_factory=dict)  # name -> {param: [N]}
+
     max_delay: int = ACCUMULATOR_MAX_DELAY
     has_delay_dendrite: bool = False
     has_multitap: bool = False
@@ -388,7 +394,16 @@ def build_hardware(arch: Architecture) -> list[CoreInfo]:
                     0
                 ].metrics.latency_message_out
             for unit_cfg in core_cfg.pipeline_hw:
-                spec = get_model(unit_cfg.model_info.name)
+                try:
+                    spec = get_model(unit_cfg.model_info.name)
+                except ValueError:
+                    plugin_path = unit_cfg.model_info.plugin_library_path
+                    if not plugin_path:
+                        raise
+                    from .plugins import load_plugin
+
+                    load_plugin(plugin_path)
+                    spec = get_model(unit_cfg.model_info.name)
                 # check_implemented: arch section flags must be a subset of the
                 # model's capabilities (src/core.cpp:225-227)
                 if unit_cfg.implements_synapse and not spec.implements_synapse:
@@ -589,6 +604,8 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             soma_unit = ref.soma_unit
             dendrite_unit = ref.dendrite_unit
             compiled.soma_model[i] = soma_unit.spec.soma_model_id
+            if soma_unit.spec.soma_model_id >= SOMA_MODEL_PLUGIN_BASE:
+                _ensure_plugin(compiled, soma_unit.spec)
             compiled.soma_unit_id[i] = soma_unit.unit_id
             compiled.dendrite_model[i] = dendrite_unit.spec.dendrite_model_id
             compiled.dendrite_unit_id[i] = dendrite_unit.unit_id
@@ -638,6 +655,12 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
                             rate = attribute.as_float()
                             if rate > 0.0:
                                 compiled.input_rate_interval[i] = int(1.0 / rate)
+                    elif model_id >= SOMA_MODEL_PLUGIN_BASE:
+                        spec = soma_unit.spec
+                        if key in spec.param_defaults:
+                            _plugin_param_array(compiled, spec, key)[i] = (
+                                attribute.as_float()
+                            )
                 if to_dendrite:
                     if dendrite_unit.spec.dendrite_model_id == (
                         DENDRITE_MODEL_MULTITAP
@@ -1060,6 +1083,24 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     _build_stochastic_arrays(compiled)
 
     return compiled
+
+
+def _ensure_plugin(compiled: CompiledChip, spec: ModelSpec) -> None:
+    """Register a plugin model's spec + parameter arrays with the chip."""
+    if spec.name not in compiled.plugin_params:
+        if all(s.name != spec.name for s in compiled.plugin_specs):
+            compiled.plugin_specs.append(spec)
+        compiled.plugin_params[spec.name] = {
+            param: np.full(compiled.n_neurons, default, dtype=np.float64)
+            for param, default in spec.param_defaults.items()
+        }
+
+
+def _plugin_param_array(
+    compiled: CompiledChip, spec: ModelSpec, key: str
+) -> np.ndarray:
+    _ensure_plugin(compiled, spec)
+    return compiled.plugin_params[spec.name][key]
 
 
 def _build_stochastic_arrays(compiled: CompiledChip) -> None:

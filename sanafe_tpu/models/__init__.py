@@ -47,8 +47,17 @@ class ModelSpec:
     soma_model_id: int = SOMA_MODEL_NONE
     dendrite_model_id: int = -1
     synapse_model_id: int = -1
-    # Optional python-plugin update function (see models/plugin.py)
+    # --- Python-plugin soma models (replacing the reference's dlopen
+    # plugins, src/plugins.cpp): a vectorized update over per-neuron
+    # parameter/state arrays ---
+    # signature: update(params, state, valid, current, t)
+    #   -> (new_state: dict, fired: bool[N], updated: bool[N],
+    #       potential: float[N])
     soma_update: Optional[Callable] = None
+    # per-neuron parameters: name -> default (settable via neuron attrs)
+    param_defaults: dict[str, float] = field(default_factory=dict)
+    # per-neuron state variables: name -> initial value
+    state_init: dict[str, float] = field(default_factory=dict)
 
 
 # Framework attributes recognized by every unit (src/pipeline.hpp:182-205)
@@ -128,10 +137,44 @@ CURRENT_BASED_ATTRIBUTES = {
 }
 
 _REGISTRY: dict[str, ModelSpec] = {}
+_next_plugin_id = SOMA_MODEL_PLUGIN_BASE
 
 
 def register_model(spec: ModelSpec) -> None:
     _REGISTRY[spec.name] = spec
+
+
+def register_soma_model(
+    name: str,
+    update: Callable,
+    params: dict[str, float] | None = None,
+    state: dict[str, float] | None = None,
+    attributes: dict[str, str] | None = None,
+) -> ModelSpec:
+    """Register a Python soma model (the dlopen-plugin replacement).
+
+    ``update(params, state, valid, current, t)`` receives dicts of [N]
+    jnp arrays and must return ``(new_state, fired, updated, potential)``.
+    Reuses the existing id if the name was registered before.
+    """
+    global _next_plugin_id
+    existing = _REGISTRY.get(name)
+    model_id = (
+        existing.soma_model_id if existing is not None else _next_plugin_id
+    )
+    if existing is None:
+        _next_plugin_id += 1
+    spec = ModelSpec(
+        name=name,
+        implements_soma=True,
+        attributes=attributes or {},
+        soma_model_id=model_id,
+        soma_update=update,
+        param_defaults=dict(params or {}),
+        state_init=dict(state or {}),
+    )
+    register_model(spec)
+    return spec
 
 
 def get_model(name: str) -> ModelSpec:
@@ -201,3 +244,6 @@ register_model(
         soma_model_id=SOMA_MODEL_TRUENORTH,
     )
 )
+
+# Built-in Python plugin models (ports of the reference's dlopen examples)
+from . import hodgkin_huxley  # noqa: E402,F401

@@ -147,6 +147,19 @@ class DeviceProgram:
             )
         if c.has_multitap:
             state["tap_voltages"] = jnp.zeros((n, c.max_taps), dtype=dtype)
+        for spec in c.plugin_specs:
+            params = c.plugin_params[spec.name]
+            for var, init in spec.state_init.items():
+                # state vars sharing a parameter name initialize from the
+                # per-neuron attribute values (e.g. HH gating variables)
+                if var in params:
+                    state[f"plugin_{spec.name}_{var}"] = jnp.asarray(
+                        params[var], dtype=dtype
+                    )
+                else:
+                    state[f"plugin_{spec.name}_{var}"] = jnp.full(
+                        n, init, dtype=dtype
+                    )
         return state
 
     def make_scan(self, chunk_len: int):
@@ -274,6 +287,9 @@ def make_device_program(
         arrays["poisson_slots"] = jnp.asarray(
             np.concatenate([members for _, members in c.input_units])
         )
+    for spec in c.plugin_specs:
+        for param, values in c.plugin_params[spec.name].items():
+            arrays[f"plugin_{spec.name}_{param}"] = farr(values)
     if c.neuron_proc_lat_core is not None:
         arrays["neuron_proc_lat_core"] = farr(c.neuron_proc_lat_core)
         core_onehot = np.zeros((c.n_neurons, c.n_cores), dtype=np.float32)
@@ -497,6 +513,30 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         (is_lif & fired_lif) | (is_tn & fired_tn) | (is_input & fired_input)
     )
     updated = (is_lif & upd_lif) | (is_tn & upd_tn)
+
+    plugin_state_updates = {}
+    for spec in c.plugin_specs:
+        is_this = a["soma_model"] == spec.soma_model_id
+        params = {
+            param: a[f"plugin_{spec.name}_{param}"]
+            for param in spec.param_defaults
+        }
+        plugin_state = {
+            var: state[f"plugin_{spec.name}_{var}"]
+            for var in spec.state_init
+        }
+        new_plugin_state, p_fired, p_updated, p_potential = spec.soma_update(
+            params, plugin_state, valid, current, t
+        )
+        for var, value in new_plugin_state.items():
+            key = f"plugin_{spec.name}_{var}"
+            plugin_state_updates[key] = jnp.where(
+                is_this, value, state[key]
+            )
+        fired = fired | (is_this & p_fired)
+        updated = updated | (is_this & p_updated.astype(bool))
+        potential = jnp.where(is_this, p_potential, potential)
+
     updated_or_fired = updated | fired
 
     fired_f = fired.astype(dtype)
@@ -618,6 +658,7 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         new_state["delay_ring"] = state_delay_ring
     if state_tap_voltages is not None:
         new_state["tap_voltages"] = state_tap_voltages
+    new_state.update(plugin_state_updates)
 
     # Outputs are consolidated into as few tensors as possible: each fetched
     # array pays host-link latency (and the link can stall), and bool
