@@ -32,6 +32,8 @@ from .network import (
 from .network import SpikingNetwork as Network
 from .trace import NeuronAddress
 from .yaml_arch import DescriptionParsingError
+from ._examples import load_example, load_loihi, load_truenorth
+from . import data, layers
 
 __version__ = "0.1.0"
 

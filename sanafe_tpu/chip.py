@@ -101,6 +101,81 @@ class _TraceState:
     memory: Any = None
 
 
+class MappedNeuron:
+    """View of one neuron mapped onto a loaded chip; ``set_attributes``
+    mutates the chip's compiled arrays in place (reference
+    ``MappedNeuron::set_attributes``, src/pymodule.cpp:502-527)."""
+
+    def __init__(self, chip: "SpikingChip", ref):
+        self._chip = chip
+        self._ref = ref
+
+    @property
+    def group_name(self) -> str:
+        return self._ref.group_name
+
+    @property
+    def offset(self) -> int:
+        return self._ref.offset
+
+    @property
+    def id(self) -> int:
+        return self._ref.global_id
+
+    def get_potential(self) -> float:
+        state = self._chip._device_state
+        if state is None:
+            return float(self._chip.compiled.initial_potential[self._ref.slot])
+        return float(np.asarray(state["potential"])[self._ref.slot])
+
+    def set_attributes(self, model_attributes: dict | None = None) -> None:
+        from .compile import (
+            _apply_lif_attribute,
+            _apply_truenorth_attribute,
+            _plugin_param_array,
+        )
+        from .models import (
+            SOMA_MODEL_LIF,
+            SOMA_MODEL_PLUGIN_BASE,
+            SOMA_MODEL_TRUENORTH,
+        )
+        from .network import _wrap_attribute_dict
+
+        chip = self._chip
+        c = chip.compiled
+        ref = self._ref
+        slot = ref.slot
+        attrs = _wrap_attribute_dict(model_attributes or {})
+        model_id = ref.soma_unit.spec.soma_model_id
+        for key, attribute in attrs.items():
+            if not attribute.forward_to_soma:
+                continue
+            if model_id == SOMA_MODEL_LIF:
+                _apply_lif_attribute(c, slot, key, attribute)
+            elif model_id == SOMA_MODEL_TRUENORTH:
+                _apply_truenorth_attribute(c, slot, key, attribute)
+            elif model_id >= SOMA_MODEL_PLUGIN_BASE:
+                spec = ref.soma_unit.spec
+                if key in spec.param_defaults:
+                    _plugin_param_array(c, spec, key)[slot] = (
+                        attribute.as_float()
+                    )
+        # 'potential' writes live state directly (the reference sets
+        # cx.potential on the loaded compartment)
+        if "potential" in attrs and chip._device_state is not None:
+            state = dict(chip._device_state)
+            potential = np.asarray(state["potential"]).copy()
+            potential[slot] = attrs["potential"].as_float()
+            state["potential"] = jax.numpy.asarray(
+                potential, dtype=np.asarray(state["potential"]).dtype
+            )
+            chip._device_state = state
+        chip._invalidate_programs()
+
+    def __repr__(self) -> str:
+        return f"MappedNeuron({self.group_name}.{self.offset})"
+
+
 class SpikingChip:
     def __init__(self, arch: Architecture):
         self.arch = arch
@@ -126,7 +201,6 @@ class SpikingChip:
         self._device_state = None
         self._programs: dict[tuple, DeviceProgram] = {}
         self._scan_cache: dict[tuple, Any] = {}
-        self._traces_open = False
         self._trace_states: dict[str, _TraceState] = {}
 
     # --- loading -------------------------------------------------------------
@@ -148,12 +222,22 @@ class SpikingChip:
 
     @property
     def mapped_neuron_groups(self) -> dict[str, list]:
+        """Group name → list of MappedNeuron views supporting runtime
+        attribute updates between sim() calls (src/pymodule.cpp:502-527)."""
         if self.compiled is None:
             return {}
         groups: dict[str, list] = {}
         for name, slots in self.compiled.groups.items():
-            groups[name] = [self.compiled.neurons[s] for s in slots]
+            groups[name] = [
+                MappedNeuron(self, self.compiled.neurons[s]) for s in slots
+            ]
         return groups
+
+    def _invalidate_programs(self) -> None:
+        """Force device programs to rebuild from the (mutated) compiled
+        arrays on the next sim() call; live state is preserved."""
+        self._programs.clear()
+        self._scan_cache.clear()
 
     # --- simulation ----------------------------------------------------------
     def sim(
@@ -189,17 +273,18 @@ class SpikingChip:
         rd = RunData(timestep_start=self.total_timesteps + 1)
         rd.timesteps_executed = timesteps
 
-        first_sim = not self._traces_open
-        if first_sim:
-            self._open_traces(
-                spike_trace,
-                potential_trace,
-                neuron_trace,
-                perf_trace,
-                message_trace,
-                write_trace_headers,
-            )
-            self._traces_open = True
+        # Trace objects are constructed per sim() call, matching the
+        # reference Python module (src/pymodule.cpp:549-706 builds fresh
+        # PyTrace objects each call)
+        self.close()
+        self._open_traces(
+            spike_trace,
+            potential_trace,
+            neuron_trace,
+            perf_trace,
+            message_trace,
+            write_trace_headers,
+        )
 
         traces = self._trace_states
         record_spikes = traces["spike"].sink.enabled
@@ -622,7 +707,40 @@ class SpikingChip:
                 (False, False, False, False)
             ] = prog
         state = prog.init_state()
-        state["potential"] = state["potential"] * 0
+        # all model state zeroes (LoihiLifModel::reset etc. zero potentials
+        # rather than re-applying the initial 'potential' attribute)
+        self._device_state = {
+            key: value * 0 for key, value in state.items()
+        }
+
+    def save_state(self, path: str | Path) -> None:
+        """Checkpoint the full simulation state (device pytree + timestep
+        counter + RNG stream positions) to an .npz file. The reference has
+        no state snapshotting; here device state is a flat pytree, so
+        checkpoint/resume is natural."""
+        if self.compiled is None:
+            raise RuntimeError("No network loaded; call load() first")
+        state = self._device_state
+        if state is None:
+            prog = next(iter(self._programs.values()), None)
+            if prog is None:
+                prog = make_device_program(self.compiled)
+            state = prog.init_state()
+        arrays = {key: np.asarray(value) for key, value in state.items()}
+        arrays["__total_timesteps__"] = np.int64(self.total_timesteps)
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path: str | Path) -> None:
+        """Restore a checkpoint written by :meth:`save_state`."""
+        if self.compiled is None:
+            raise RuntimeError("No network loaded; call load() first")
+        with np.load(path) as data:
+            state = {
+                key: jax.numpy.asarray(data[key])
+                for key in data.files
+                if key != "__total_timesteps__"
+            }
+            self.total_timesteps = int(data["__total_timesteps__"])
         self._device_state = state
 
     def get_power(self) -> float:

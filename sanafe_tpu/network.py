@@ -140,8 +140,34 @@ class Neuron:
     def get_id(self) -> int:
         return self.offset
 
-    def set_attributes(self, config: NeuronConfiguration) -> None:
-        """Apply a configuration template (src/network.cpp:94-128)."""
+    def set_attributes(
+        self,
+        config: NeuronConfiguration | None = None,
+        *,
+        model_attributes: dict | None = None,
+        soma_hw_name: str | None = None,
+        default_synapse_hw_name: str | None = None,
+        synapse_hw_name: str | None = None,
+        dendrite_hw_name: str | None = None,
+        log_spikes: bool | None = None,
+        log_potential: bool | None = None,
+    ) -> None:
+        """Apply a configuration template (src/network.cpp:94-128). Accepts
+        either a NeuronConfiguration or the reference Python module's
+        keyword style (plain-value attribute dicts)."""
+        if config is None:
+            config = NeuronConfiguration(
+                model_attributes=_wrap_attribute_dict(model_attributes or {}),
+                soma_hw_name=soma_hw_name,
+                default_synapse_hw_name=(
+                    default_synapse_hw_name
+                    if default_synapse_hw_name is not None
+                    else synapse_hw_name
+                ),
+                dendrite_hw_name=dendrite_hw_name,
+                log_spikes=log_spikes,
+                log_potential=log_potential,
+            )
         if config.default_synapse_hw_name is not None:
             self.default_synapse_hw_name = config.default_synapse_hw_name
         if config.dendrite_hw_name is not None:
@@ -160,12 +186,20 @@ class Neuron:
                 )
             self.model_attributes[key] = attribute
 
-    def connect_to_neuron(self, dest: "Neuron") -> int:
-        """Create an outgoing edge to ``dest`` (src/network.cpp:175-192)."""
+    def connect_to_neuron(
+        self, dest: "Neuron", attributes: dict | None = None
+    ) -> int:
+        """Create an outgoing edge to ``dest`` (src/network.cpp:175-192).
+        Optional ``attributes`` (plain values or Attribute objects) forward
+        to both the synapse and dendrite scopes."""
         edge = Connection(len(self.edges_out))
         edge.pre_neuron = NeuronAddress(self.parent_group_name, self.offset)
         edge.post_neuron = NeuronAddress(dest.parent_group_name, dest.offset)
         edge.synapse_hw_name = dest.default_synapse_hw_name
+        if attributes:
+            wrapped = _wrap_attribute_dict(attributes)
+            edge.synapse_attributes.update(wrapped)
+            edge.dendrite_attributes.update(wrapped)
         self.edges_out.append(edge)
         return edge.id
 
@@ -205,6 +239,44 @@ class BulkEdges:
 # (keeping the reference's introspectable edges_out API); at or above it
 # they lower straight to BulkEdges arrays.
 BULK_EDGE_THRESHOLD = 16384
+
+
+def _wrap_attribute_dict(values: dict) -> dict[str, Attribute]:
+    """Wrap plain Python/numpy values into Attributes (pass-through for
+    Attribute instances); mirrors pydict_to_model_attributes
+    (src/pymodule.cpp:64-89)."""
+    out: dict[str, Attribute] = {}
+    for key, value in values.items():
+        if isinstance(value, Attribute):
+            out[key] = value
+        elif isinstance(value, np.ndarray):
+            out[key] = Attribute(value.tolist(), name=key)
+        elif isinstance(value, np.generic):
+            out[key] = Attribute(value.item(), name=key)
+        else:
+            out[key] = Attribute(value, name=key)
+    return out
+
+
+def _normalize_attribute_lists(
+    attribute_lists: dict,
+) -> dict[str, list[Attribute]]:
+    """Normalize hyperedge per-edge attribute lists: plain scalars, numpy
+    arrays, and Attribute objects are all accepted."""
+    out: dict[str, list[Attribute]] = {}
+    for key, values in attribute_lists.items():
+        if isinstance(values, np.ndarray):
+            values = values.tolist()
+        normalized = []
+        for value in values:
+            if isinstance(value, Attribute):
+                normalized.append(value)
+            elif isinstance(value, np.generic):
+                normalized.append(Attribute(value.item(), name=key))
+            else:
+                normalized.append(Attribute(value, name=key))
+        out[key] = normalized
+    return out
 
 
 def _attribute_lists_to_arrays(
@@ -269,6 +341,7 @@ class NeuronGroup:
     ) -> None:
         """All-to-all connect; lists index src*n_dest+dest
         (src/network.cpp:567-605)."""
+        attribute_lists = _normalize_attribute_lists(attribute_lists)
         n_dest = len(dest_group.neurons)
         n_src = len(self.neurons)
         arrays = (
@@ -311,6 +384,7 @@ class NeuronGroup:
         attribute_lists: dict[str, list[Attribute]],
         source_dest_id_pairs: list[tuple[int, int]],
     ) -> None:
+        attribute_lists = _normalize_attribute_lists(attribute_lists)
         """Pairwise connect; lists index by edge position and must match the
         pair count exactly (src/network.cpp:229-276)."""
         n_pairs = len(source_dest_id_pairs)
@@ -338,12 +412,34 @@ class NeuronGroup:
     def connect_neurons_conv2d(
         self,
         dest_group: "NeuronGroup",
-        attribute_lists: dict[str, list[Attribute]],
-        convolution: Conv2DParameters,
+        attribute_lists: dict,
+        convolution: "Conv2DParameters | int" = None,
+        input_height: int = 0,
+        input_channels: int = 0,
+        kernel_width: int = 0,
+        kernel_height: int = 0,
+        kernel_count: int = 1,
+        stride_width: int = 1,
+        stride_height: int = 1,
     ) -> None:
         """Lower a 2D convolution to individual edges
-        (src/network.cpp:278-528)."""
-        c = convolution
+        (src/network.cpp:278-528). Accepts either a Conv2DParameters or the
+        reference Python module's positional ints
+        (src/pymodule.cpp:335-356)."""
+        attribute_lists = _normalize_attribute_lists(attribute_lists)
+        if isinstance(convolution, Conv2DParameters):
+            c = convolution
+        else:
+            c = Conv2DParameters(
+                input_width=int(convolution),
+                input_height=input_height,
+                input_channels=input_channels,
+                kernel_width=kernel_width,
+                kernel_height=kernel_height,
+                kernel_count=kernel_count,
+                stride_width=stride_width,
+                stride_height=stride_height,
+            )
         for name, value in (
             ("input_width", c.input_width),
             ("input_height", c.input_height),
@@ -507,9 +603,28 @@ class SpikingNetwork:
         name: str,
         neuron_count: int,
         default_config: NeuronConfiguration | None = None,
+        *,
+        model_attributes: dict | None = None,
+        soma_hw_name: str | None = None,
+        default_synapse_hw_name: str | None = None,
+        dendrite_hw_name: str | None = None,
+        log_spikes: bool | None = None,
+        log_potential: bool | None = None,
     ) -> NeuronGroup:
+        """Create a neuron group. Accepts either a NeuronConfiguration or the
+        reference Python module's keyword style (plain-value attribute dicts;
+        src/pymodule.cpp:367-387)."""
         if name in self.groups:
             raise ValueError(f"Group: {name} already exists in SNN.")
+        if default_config is None:
+            default_config = NeuronConfiguration(
+                model_attributes=_wrap_attribute_dict(model_attributes or {}),
+                soma_hw_name=soma_hw_name,
+                default_synapse_hw_name=default_synapse_hw_name,
+                dendrite_hw_name=dendrite_hw_name,
+                log_spikes=log_spikes,
+                log_potential=log_potential,
+            )
         group = NeuronGroup(name, self, neuron_count, default_config)
         self.groups[name] = group
         return group

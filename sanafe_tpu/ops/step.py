@@ -87,7 +87,7 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
             n_pad=n_pad,
             src_tiles=jnp.zeros(0, jnp.int32),
             dest_tiles=jnp.zeros(0, jnp.int32),
-            weights=jnp.zeros((0, tile, tile), jnp.float32),
+            weights=jnp.zeros((0, tile, tile), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
             counts=jnp.zeros((0, tile, tile), jnp.int8),
         )
     src = c.axon_src_slot[c.edge_axon].astype(np.int64)
@@ -97,11 +97,13 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
     key = dst_t * n_tiles + src_t  # dest-major so segment ids sort ascending
     uniq, block_of_edge = np.unique(key, return_inverse=True)
     B = len(uniq)
-    weights = np.zeros((B, tile, tile), dtype=np.float32)
+    # Weights stay float64 until the device cast so float32 rounding only
+    # happens when the program itself is float32
+    weights = np.zeros((B, tile, tile), dtype=np.float64)
     np.add.at(
         weights,
         (block_of_edge, src % tile, dst % tile),
-        c.edge_weight.astype(np.float32),
+        c.edge_weight,
     )
     counts16 = np.zeros((B, tile, tile), dtype=np.int16)
     np.add.at(counts16, (block_of_edge, src % tile, dst % tile), 1)

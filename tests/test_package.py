@@ -1,0 +1,174 @@
+"""High-level package tests: layers, data converters, viz, examples
+(reference sanafe/layers.py, sanafe/data.py, sanafe/viz, sanafe/_examples.py).
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import sanafe_tpu as sf
+from sanafe_tpu.data import (
+    messages_to_dataframe,
+    performance_to_dataframe,
+    potentials_to_dataframe,
+    spikes_to_dataframe,
+    spikes_to_raster,
+)
+from sanafe_tpu.layers import Conv2D, Dense, Input2D
+
+
+@pytest.fixture(scope="module")
+def example_result():
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    result = chip.sim(
+        16,
+        timing_model="detailed",
+        spike_trace=True,
+        potential_trace=True,
+        perf_trace=True,
+        message_trace=True,
+        heartbeat=0,
+    )
+    return result
+
+
+def test_example_runs(example_result):
+    assert example_result["spikes"] > 0
+    assert example_result["energy"]["total"] > 0
+    assert example_result["sim_time"] > 0
+
+
+def test_layers_build_network():
+    net = sf.Network()
+    inputs = Input2D(net, 4, 4, 1, threshold=1.0)
+    weights = np.full((2, 2, 1, 3), 0.5)
+    conv = Conv2D(net, inputs, weights, threshold=2.0)
+    assert (conv.width, conv.height, conv.channels) == (3, 3, 3)
+    assert len(conv) == 27
+    dense = Dense(net, conv, 5, np.ones((27, 5)), threshold=3.0)
+    assert len(dense) == 5
+    # conv edges: 9 positions x 3 filters x 4 kernel entries each
+    conv_edges = sum(len(n.edges_out) for n in inputs.group)
+    assert conv_edges == 9 * 3 * 4
+    dense_edges = sum(len(n.edges_out) for n in conv.group)
+    assert dense_edges == 27 * 5
+    # weights landed on synapse attributes
+    edge = inputs.group[0].edges_out[0]
+    assert edge.synapse_attributes["w"].as_float() == 0.5
+
+
+def test_layers_validation():
+    net = sf.Network()
+    inputs = Input2D(net, 4, 4, 1)
+    with pytest.raises(ValueError, match="4 dimensions"):
+        Conv2D(net, inputs, np.ones((2, 2, 1)))
+    with pytest.raises(ValueError, match="padding"):
+        Conv2D(net, inputs, np.ones((2, 2, 1, 1)), pad_width=1)
+    with pytest.raises(ValueError, match="channels mismatch"):
+        Conv2D(net, inputs, np.ones((2, 2, 3, 1)))
+    with pytest.raises(ValueError, match="shape"):
+        Dense(net, inputs, 5, np.ones((3, 5)))
+
+
+def test_spikes_converters(example_result):
+    df = spikes_to_dataframe(example_result)
+    assert set(df.columns) == {
+        "timestep", "group", "neuron_offset", "neuron_id",
+    }
+    raster, labels, steps = spikes_to_raster(example_result, n_timesteps=16)
+    assert raster.shape == (len(labels), 16)
+    assert raster.sum() == len(df)
+
+
+def test_potentials_converter(example_result):
+    df = potentials_to_dataframe(example_result)
+    assert df.index.name == "timestep"
+    assert len(df) == 16
+    assert df.shape[1] == 5  # 4 hidden + 1 out log_potential neurons
+
+
+def test_performance_converter(example_result):
+    df = performance_to_dataframe(example_result)
+    assert "sim_time" in df.columns and len(df) == 16
+
+
+def test_messages_converter(example_result):
+    df = messages_to_dataframe(example_result)
+    assert {"src_neuron", "src_hw", "dest_hw"}.issubset(df.columns)
+    assert (df["mid"] >= -1).all()
+
+
+def test_viz_plots(example_result, tmp_path):
+    from sanafe_tpu.viz import (
+        plot_energy,
+        plot_message_latency,
+        plot_potential_lines,
+        plot_raster,
+        plot_throughput,
+        PUBLICATION_STYLE,
+    )
+
+    ax = plot_raster(example_result, style=PUBLICATION_STYLE)
+    ax.figure.savefig(tmp_path / "raster.png")
+    ax = plot_potential_lines(example_result)
+    ax.figure.savefig(tmp_path / "potentials.png")
+    ax = plot_energy(example_result)
+    ax.figure.savefig(tmp_path / "energy.png")
+    ax = plot_throughput(example_result, window=4)
+    ax.figure.savefig(tmp_path / "throughput.png")
+    ax = plot_message_latency(example_result)
+    ax.figure.savefig(tmp_path / "latency.png")
+    assert (tmp_path / "raster.png").stat().st_size > 0
+
+
+def test_example_loaders():
+    loihi = sf.load_loihi()
+    assert loihi.core_count == 128
+    assert loihi.noc_width_in_tiles == 8 and loihi.noc_height_in_tiles == 4
+
+
+def test_mapped_neuron_runtime_updates():
+    """MappedNeuron.set_attributes mutates a loaded chip between sim()
+    calls (src/pymodule.cpp:502-527); reset() zeroes all model state."""
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chip.sim(3, timing_model="simple", heartbeat=0)
+    neuron = chip.mapped_neuron_groups["out"][0]
+    neuron.set_attributes(
+        model_attributes={"potential": 5.0, "bias": 1.0, "threshold": 100.0}
+    )
+    assert neuron.get_potential() == 5.0
+    chip.sim(1, timing_model="simple", heartbeat=0)
+    # v + bias + the persisting synaptic input current from the hidden layer
+    assert neuron.get_potential() > 6.0
+    chip.reset()
+    assert neuron.get_potential() == 0.0
+
+
+def test_checkpoint_resume(tmp_path):
+    """save_state/load_state round-trips the full device state; resumed
+    simulation matches an uninterrupted one exactly."""
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chip.sim(5, timing_model="simple", heartbeat=0)
+    chip.save_state(tmp_path / "ckpt.npz")
+    r_direct = chip.sim(5, timing_model="simple", heartbeat=0,
+                        potential_trace=True)
+    direct = [row for row in r_direct["potential_trace"].data]
+
+    arch2, net2 = sf.load_example()
+    chip2 = sf.SpikingChip(arch2)
+    chip2.load(net2)
+    chip2.load_state(tmp_path / "ckpt.npz")
+    assert chip2.total_timesteps == 5
+    r_resumed = chip2.sim(5, timing_model="simple", heartbeat=0,
+                          potential_trace=True)
+    resumed = [row for row in r_resumed["potential_trace"].data]
+    assert resumed == direct
