@@ -37,6 +37,7 @@ from .models import (
     DENDRITE_MODEL_ACCUMULATOR,
     DENDRITE_MODEL_ACCUMULATOR_DELAY,
     DENDRITE_MODEL_MULTITAP,
+    DENDRITE_MODEL_PLUGIN_COMP,
     ACCUMULATOR_MAX_DELAY,
     get_model,
 )
@@ -350,6 +351,8 @@ class CompiledChip:
     # specs used by this chip + their per-neuron parameter arrays
     plugin_specs: list = field(default_factory=list)
     plugin_params: dict = field(default_factory=dict)  # name -> {param: [N]}
+    has_plugin_comp: bool = False
+    max_plugin_comp: int = 0
 
     max_delay: int = ACCUMULATOR_MAX_DELAY
     has_delay_dendrite: bool = False
@@ -765,6 +768,11 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
                         == DENDRITE_MODEL_MULTITAP
                     ):
                         tap = attribute.as_int()
+                    elif key == "compartment" and (
+                        post_ref.dendrite_unit.spec.dendrite_model_id
+                        == DENDRITE_MODEL_PLUGIN_COMP
+                    ):
+                        tap = attribute.as_int()
                 obj_pre.append(pre_ref.slot)
                 obj_post.append(post_ref.slot)
                 obj_weight.append(weight)
@@ -1081,6 +1089,14 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
 
     # ---- 8. stochastic model support ----
     _build_stochastic_arrays(compiled)
+
+    # plugin compartmental dendrites (e.g. NeuroFEM)
+    for spec in compiled.plugin_specs:
+        if spec.dendrite_compartments > 0:
+            compiled.has_plugin_comp = True
+            compiled.max_plugin_comp = max(
+                compiled.max_plugin_comp, spec.dendrite_compartments
+            )
 
     return compiled
 

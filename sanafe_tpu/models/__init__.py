@@ -24,6 +24,9 @@ SOMA_MODEL_PLUGIN_BASE = 16
 DENDRITE_MODEL_ACCUMULATOR = 0
 DENDRITE_MODEL_ACCUMULATOR_DELAY = 1
 DENDRITE_MODEL_MULTITAP = 2
+# Plugin models with per-edge compartment routing (combined dendrite+soma
+# units like NeuroFEM); edges carry a 'compartment' attribute
+DENDRITE_MODEL_PLUGIN_COMP = 3
 
 SYNAPSE_MODEL_CURRENT_BASED = 0
 
@@ -58,6 +61,10 @@ class ModelSpec:
     param_defaults: dict[str, float] = field(default_factory=dict)
     # per-neuron state variables: name -> initial value
     state_init: dict[str, float] = field(default_factory=dict)
+    # >0 for combined dendrite+soma plugins routing per-edge inputs into
+    # K compartments (edge attribute 'compartment'); the update function
+    # then receives comp: [N, K] with last step's per-compartment sums
+    dendrite_compartments: int = 0
 
 
 # Framework attributes recognized by every unit (src/pipeline.hpp:182-205)
@@ -150,6 +157,7 @@ def register_soma_model(
     params: dict[str, float] | None = None,
     state: dict[str, float] | None = None,
     attributes: dict[str, str] | None = None,
+    dendrite_compartments: int = 0,
 ) -> ModelSpec:
     """Register a Python soma model (the dlopen-plugin replacement).
 
@@ -167,11 +175,16 @@ def register_soma_model(
     spec = ModelSpec(
         name=name,
         implements_soma=True,
+        implements_dendrite=dendrite_compartments > 0,
         attributes=attributes or {},
         soma_model_id=model_id,
+        dendrite_model_id=(
+            DENDRITE_MODEL_PLUGIN_COMP if dendrite_compartments > 0 else -1
+        ),
         soma_update=update,
         param_defaults=dict(params or {}),
         state_init=dict(state or {}),
+        dendrite_compartments=dendrite_compartments,
     )
     register_model(spec)
     return spec
@@ -247,3 +260,4 @@ register_model(
 
 # Built-in Python plugin models (ports of the reference's dlopen examples)
 from . import hodgkin_huxley  # noqa: E402,F401
+from . import neurofem  # noqa: E402,F401

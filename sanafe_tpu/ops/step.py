@@ -34,6 +34,7 @@ from ..compile import CompiledChip
 from ..models import (
     DENDRITE_MODEL_ACCUMULATOR_DELAY,
     DENDRITE_MODEL_MULTITAP,
+    DENDRITE_MODEL_PLUGIN_COMP,
     SOMA_MODEL_INPUT,
     SOMA_MODEL_LIF,
     SOMA_MODEL_TRUENORTH,
@@ -74,7 +75,7 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
     Usable whenever every dendrite is a plain accumulator (no per-edge delay
     slots or tap routing); models with per-edge state keep the scatter path.
     """
-    if c.has_delay_dendrite or c.has_multitap:
+    if c.has_delay_dendrite or c.has_multitap or c.has_plugin_comp:
         return None
     n = c.n_neurons
     tile = min(DELIVERY_TILE, max(8, 1 << (n - 1).bit_length()))
@@ -149,6 +150,10 @@ class DeviceProgram:
             )
         if c.has_multitap:
             state["tap_voltages"] = jnp.zeros((n, c.max_taps), dtype=dtype)
+        if c.has_plugin_comp:
+            state["comp_buffer"] = jnp.zeros(
+                (n, c.max_plugin_comp), dtype=dtype
+            )
         for spec in c.plugin_specs:
             params = c.plugin_params[spec.name]
             for var, init in spec.state_init.items():
@@ -527,9 +532,16 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             var: state[f"plugin_{spec.name}_{var}"]
             for var in spec.state_init
         }
-        new_plugin_state, p_fired, p_updated, p_potential = spec.soma_update(
-            params, plugin_state, valid, current, t
-        )
+        if spec.dendrite_compartments > 0:
+            comp = state["comp_buffer"][:, : spec.dendrite_compartments]
+            new_plugin_state, p_fired, p_updated, p_potential = (
+                spec.soma_update(params, plugin_state, valid, current, t,
+                                 comp)
+            )
+        else:
+            new_plugin_state, p_fired, p_updated, p_potential = (
+                spec.soma_update(params, plugin_state, valid, current, t)
+            )
         for var, value in new_plugin_state.items():
             key = f"plugin_{spec.name}_{var}"
             plugin_state_updates[key] = jnp.where(
@@ -593,10 +605,15 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             any_input = jnp.zeros(n, dtype=bool)
         state_delay_ring = None
         state_tap_voltages = None
+        state_comp_buffer = None
     else:
-        buffer_current, any_input, state_delay_ring, state_tap_voltages = (
-            _scatter_delivery(prog, a, c, state, fired, dtype, n)
-        )
+        (
+            buffer_current,
+            any_input,
+            state_delay_ring,
+            state_tap_voltages,
+            state_comp_buffer,
+        ) = _scatter_delivery(prog, a, c, state, fired, dtype, n)
 
     # --- counters & energy roll-up from per-neuron aggregates
     # (src/chip.cpp:1028-1051,1171-1261) ---
@@ -660,6 +677,8 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         new_state["delay_ring"] = state_delay_ring
     if state_tap_voltages is not None:
         new_state["tap_voltages"] = state_tap_voltages
+    if state_comp_buffer is not None:
+        new_state["comp_buffer"] = state_comp_buffer
     new_state.update(plugin_state_updates)
 
     # Outputs are consolidated into as few tensors as possible: each fetched
@@ -732,7 +751,12 @@ def _scatter_delivery(prog, a, c, state, fired, dtype, n):
         a["edge_dest_dendrite_model"] == DENDRITE_MODEL_ACCUMULATOR_DELAY
     )
     is_tap_edge = a["edge_dest_dendrite_model"] == DENDRITE_MODEL_MULTITAP
-    immediate = contribution * (~(is_delay_edge | is_tap_edge)).astype(dtype)
+    is_comp_edge = (
+        a["edge_dest_dendrite_model"] == DENDRITE_MODEL_PLUGIN_COMP
+    )
+    immediate = contribution * (
+        ~(is_delay_edge | is_tap_edge | is_comp_edge)
+    ).astype(dtype)
     buffer_current = (
         _segment_sum(immediate, a["edge_dest_slot"], n)
         if c.n_edges
@@ -797,4 +821,24 @@ def _scatter_delivery(prog, a, c, state, fired, dtype, n):
     else:
         state_tap_voltages = None
 
-    return buffer_current, any_input, state_delay_ring, state_tap_voltages
+    if c.has_plugin_comp:
+        # Double-buffered plugin compartments (plugins/neurofem.cpp:200-250):
+        # this step's arrivals land in a fresh buffer consumed next step
+        k_max = c.max_plugin_comp
+        comp_contrib = contribution * is_comp_edge.astype(dtype)
+        flat_comp_idx = a["edge_dest_slot"] * k_max + jnp.minimum(
+            a["edge_tap"], k_max - 1
+        )
+        state_comp_buffer = _segment_sum(
+            comp_contrib, flat_comp_idx, n * k_max
+        ).reshape(n, k_max)
+    else:
+        state_comp_buffer = None
+
+    return (
+        buffer_current,
+        any_input,
+        state_delay_ring,
+        state_tap_voltages,
+        state_comp_buffer,
+    )

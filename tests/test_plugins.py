@@ -155,3 +155,69 @@ def test_so_plugin_rejected(tmp_path):
     so.write_bytes(b"\x7fELF")
     with pytest.raises(RuntimeError, match="register_soma_model"):
         load_plugin(so)
+
+
+def test_neurofem_compartments():
+    """NeuroFEM PID dynamics with two double-buffered compartments vs a
+    scalar mirror (plugins/neurofem.cpp:200-318, sigma_v = 0)."""
+    import sanafe_tpu as sf
+
+    arch = build_arch(soma_model="neurofem", dendrite_model="neurofem")
+    core0 = arch.cores()[0]
+    from sanafe_tpu.arch import ModelInfo
+
+    lif = core0.create_hardware_unit(
+        "lif_soma", ModelInfo("leaky_integrate_fire")
+    )
+    lif.implements_soma = True
+    net = sf.Network()
+    pre = net.create_neuron_group(
+        "pre", 2,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "bias": Attribute(1.1), "threshold": Attribute(1.0),
+            },
+            soma_hw_name="lif_soma",
+        ),
+    )
+    post = net.create_neuron_group(
+        "post", 1,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "lambda_v": Attribute(0.3), "lambda_d": Attribute(0.2),
+                "kp": Attribute(2.0), "ki": Attribute(0.5),
+                "bias": Attribute(0.1), "threshold": Attribute(100.0),
+                "reset": Attribute(0.0), "dt": Attribute(0.01),
+            },
+            log_potential=True, log_spikes=True,
+        ),
+    )
+    # pre.0 -> compartment 0 (w=2), pre.1 -> compartment 1 (w=3)
+    for i, (weight, compartment) in enumerate([(2.0, 0), (3.0, 1)]):
+        edge_id = pre[i].connect_to_neuron(post[0])
+        edge = pre[i].edges_out[edge_id]
+        edge.synapse_attributes["weight"] = Attribute(weight)
+        edge.dendrite_attributes["compartment"] = Attribute(compartment)
+    for n in list(pre) + list(post):
+        n.map_to_core(core0)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    steps = 8
+    result = chip.sim(steps, timing_model="simple", heartbeat=0,
+                      potential_trace=True, spike_trace=True)
+
+    # scalar mirror: pre fires every step; comp sums arrive next step
+    dt, lam_v, lam_d, kp, ki, bias = 0.01, 0.3, 0.2, 2.0, 0.5, 0.1
+    u1 = u2 = v = u_int = 0.0
+    comp0 = comp1 = 0.0  # arrivals from previous step
+    expect = []
+    for t in range(steps):
+        u1 = u1 - lam_d * dt * u1 + comp0
+        u2 = u2 - lam_d * dt * u2 + lam_d * comp1
+        u_err = u1 + bias
+        u_int += dt * u_err
+        v = v - lam_v * dt * v
+        v = v + dt * kp * u_err + dt * ki * u_int + dt * u2 - comp1
+        expect.append(v)
+        comp0, comp1 = 2.0, 3.0  # pre fired this step -> arrives next step
+    assert potentials_of(result) == pytest.approx(expect, abs=1e-12)
