@@ -683,22 +683,23 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
 
     # Outputs are consolidated into as few tensors as possible: each fetched
     # array pays host-link latency (and the link can stall), and bool
-    # tensors take a pathological transfer path. All per-step counters fit
-    # exactly in float32 (< 2^24), so one stats tensor carries everything.
+    # tensors take a pathological transfer path. One stats tensor in the
+    # program dtype carries everything (counters are exact: < 2^24 per step
+    # in float32 programs, < 2^53 in float64).
     outputs = {
         "stats": jnp.stack(
             [
-                spike_ops.astype(jnp.float32),
-                packets.astype(jnp.float32),
-                total_hops.astype(jnp.float32),
-                neurons_updated.astype(jnp.float32),
-                neurons_fired.astype(jnp.float32),
-                synapse_energy.astype(jnp.float32),
-                dendrite_energy.astype(jnp.float32),
-                soma_energy.astype(jnp.float32),
-                network_energy.astype(jnp.float32),
-                total_energy.astype(jnp.float32),
-                sim_time.astype(jnp.float32),
+                spike_ops.astype(dtype),
+                packets.astype(dtype),
+                total_hops.astype(dtype),
+                neurons_updated.astype(dtype),
+                neurons_fired.astype(dtype),
+                synapse_energy.astype(dtype),
+                dendrite_energy.astype(dtype),
+                soma_energy.astype(dtype),
+                network_energy.astype(dtype),
+                total_energy.astype(dtype),
+                sim_time.astype(dtype),
             ]
         ),
     }

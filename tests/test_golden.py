@@ -1,0 +1,63 @@
+"""Golden regression tests on the reference acceptance fixtures.
+
+Anchors the end-to-end behavior (spikes, counters, energies, detailed
+sim_time) of the fixture configs from BASELINE.md — any kernel, compiler,
+or scheduler change that shifts results fails here. Values were generated
+with float64 on CPU; counters are exact and floats compare to 1e-12
+relative.
+"""
+
+import pytest
+
+import sanafe_tpu as sf
+
+from pathlib import Path
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference fixtures not available"
+)
+
+GOLDEN = [
+    # (arch, net, netlist?, steps, spikes, fired, packets, updated,
+    #  total energy, detailed sim_time)
+    (
+        "example_chip.yaml", "example_snn.yaml", False, 100,
+        5, 3, 3, 200, 6.440000000000001e-09, 8.440000000000001e-07,
+    ),
+    (
+        "loihi.yaml", "conv.yaml", False, 100,
+        297, 330, 297, 933, 2.1965230000000015e-07, 8.039099999999997e-05,
+    ),
+    (
+        "example_chip.yaml", "example.net", True, 100,
+        100, 182, 100, 447, 5.828e-08, 5.529000000000001e-06,
+    ),
+    (
+        "demo_with_dendrites.yaml", "dendrite.net", True, 50,
+        2, 2, 2, 53, 4.890000000000001e-09, 7.290000000000001e-07,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "arch_file,net_file,netlist,steps,spikes,fired,packets,updated,"
+    "energy,sim_time",
+    GOLDEN,
+    ids=[f"{g[0]}+{g[1]}" for g in GOLDEN],
+)
+def test_golden_fixture(
+    arch_file, net_file, netlist, steps, spikes, fired, packets, updated,
+    energy, sim_time,
+):
+    arch = sf.load_arch(REF / "arch" / arch_file)
+    net = sf.load_net(REF / "snn" / net_file, arch, netlist)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    result = chip.sim(steps, timing_model="detailed", heartbeat=0)
+    assert result["spikes"] == spikes
+    assert result["neurons_fired"] == fired
+    assert result["packets_sent"] == packets
+    assert result["neurons_updated"] == updated
+    assert result["energy"]["total"] == pytest.approx(energy, rel=1e-12)
+    assert result["sim_time"] == pytest.approx(sim_time, rel=1e-12)
