@@ -54,10 +54,17 @@ struct ChipLayout {
     // per-core list of axon ids sourced from that core, ascending
     std::vector<int32_t> core_axon_start;  // size n_cores+1 into core_axons
     std::vector<int32_t> core_axons;
+    // per-slot axon ranges: axons of slot s are [slot_axon_start[s],
+    // slot_axon_start[s+1]) in axon-id order (axon ids are slot-major)
+    std::vector<int32_t> slot_axon_start;  // size n_neurons+1
     // per-neuron generation-latency components (float64 parity with the
     // reference's accumulation in process_neuron, src/chip.cpp:710-736):
     // lat(n) = base[n] + updated(n)*update[n] + fired(n)*spike[n]
     std::vector<double> lat_base, lat_update, lat_spike;
+    // per-axon cached DOR route links (CSR) + density adjust 1/(2+hops)
+    std::vector<int32_t> route_start;  // size n_axons+1
+    std::vector<int32_t> route_links;
+    std::vector<double> density_adjust;
 };
 
 // MSB-first bit lookup matching numpy packbits/unpackbits layout.
@@ -154,11 +161,11 @@ struct NocState {
 inline void update_density(const ChipLayout &L, NocState &noc, const Msg &m,
                            bool entering) {
     const int32_t a = m.axon;
-    double adj = 1.0 / (2.0 + L.hops[a]);
+    double adj = L.density_adjust[a];
     if (!entering) adj = -adj;
-    for_route_links(L, L.src_x[a], L.src_y[a], L.dest_x[a], L.dest_y[a],
-                    L.src_core_offset[a],
-                    [&](int link) { noc.density[link] += adj; });
+    for (int32_t i = L.route_start[a]; i < L.route_start[a + 1]; ++i) {
+        noc.density[L.route_links[i]] += adj;
+    }
 }
 
 inline void update_rolling_mean(NocState &noc, const Msg &m, bool entering) {
@@ -229,52 +236,49 @@ void build_messages(const ChipLayout &L, const uint8_t *fired,
 
 // Packed-mask variant: fired/updated as MSB-first bitmaps over neuron slots.
 // Generation latencies are computed on the fly from the registered per-neuron
-// latency components, in float64.
+// latency components, in float64. Walks each core's slot range once
+// (matching the reference's per-neuron accumulation order) and expands only
+// fired slots into messages via the slot→axon index.
 void build_messages_packed(const ChipLayout &L, const uint8_t *fired_bits,
                            const uint8_t *updated_bits,
                            std::vector<std::vector<Msg>> &queues) {
-    queues.assign(L.n_cores, {});
-    auto lat = [&](int32_t j) {
-        double v = L.lat_base[j];
-        if (get_bit(updated_bits, j)) v += L.lat_update[j];
-        if (get_bit(fired_bits, j)) v += L.lat_spike[j];
-        return v;
-    };
+    if (queues.size() != static_cast<size_t>(L.n_cores)) {
+        queues.resize(L.n_cores);
+    }
+    for (auto &q : queues) q.clear();
     for (int core = 0; core < L.n_cores; ++core) {
         const int32_t lo = L.core_slot_lo[core];
         const int32_t hi = L.core_slot_hi[core];
         if (lo < 0) continue;
         auto &q = queues[core];
         double acc = 0.0;
-        int32_t next_slot = lo;
-        const int32_t a_begin = L.core_axon_start[core];
-        const int32_t a_end = L.core_axon_start[core + 1];
-        for (int32_t ai = a_begin; ai < a_end; ++ai) {
-            const int32_t a = L.core_axons[ai];
-            if (!get_bit(fired_bits, L.src_slot[a])) continue;
-            if (L.ordinal[a] == 0) {
-                const int32_t s = L.src_slot[a];
-                for (int32_t j = next_slot; j <= s; ++j) acc += lat(j);
-                next_slot = s + 1;
+        for (int32_t j = lo; j <= hi; ++j) {
+            const bool fired = get_bit(fired_bits, j);
+            double lat = L.lat_base[j];
+            if (get_bit(updated_bits, j)) lat += L.lat_update[j];
+            if (fired) lat += L.lat_spike[j];
+            acc += lat;
+            if (!fired) continue;
+            const int32_t a_begin = L.slot_axon_start[j];
+            const int32_t a_end = L.slot_axon_start[j + 1];
+            for (int32_t a = a_begin; a < a_end; ++a) {
+                Msg m;
+                m.axon = a;
+                m.src_core = core;
+                m.dest_core = L.dest_core[a];
+                m.gen_delay = acc + L.latency_out[a];
+                m.proc_delay = L.proc_delay[a];
+                m.min_hop_delay = L.min_hop_delay[a];
+                acc = 0.0;
+                q.push_back(m);
             }
-            Msg m;
-            m.axon = a;
-            m.src_core = core;
-            m.dest_core = L.dest_core[a];
-            m.gen_delay = acc + L.latency_out[a];
-            m.proc_delay = L.proc_delay[a];
-            m.min_hop_delay = L.min_hop_delay[a];
-            acc = 0.0;
-            q.push_back(m);
         }
-        double remainder = 0.0;
-        for (int32_t j = next_slot; j <= hi; ++j) remainder += lat(j);
-        if (remainder != 0.0) {
+        if (acc != 0.0) {
             Msg m;
             m.axon = -1;
             m.src_core = core;
             m.dest_core = -1;
-            m.gen_delay = remainder;
+            m.gen_delay = acc;
             q.push_back(m);
         }
     }
@@ -287,9 +291,6 @@ double sweep_timestep(const ChipLayout &L,
     NocState noc(L);
     std::vector<int32_t> heads(L.n_cores, 0);
     MinHeap heap;
-    // retired message bookkeeping: the retire heap stores (recv_ts, seq,
-    // core, index into a flat in-flight store)
-    std::vector<Msg *> in_flight;
     int64_t seq = 0;
     double last_ts = 0.0;
 
@@ -326,9 +327,10 @@ double sweep_timestep(const ChipLayout &L,
             // schedule_handle_message (src/schedule.cpp:306-358)
             const int32_t a = m.axon;
             double flow = 0.0;
-            for_route_links(L, L.src_x[a], L.src_y[a], L.dest_x[a],
-                            L.dest_y[a], L.src_core_offset[a],
-                            [&](int link) { flow += noc.density[link]; });
+            for (int32_t i = L.route_start[a]; i < L.route_start[a + 1];
+                 ++i) {
+                flow += noc.density[L.route_links[i]];
+            }
             m.route_density = flow;
             const double path_capacity =
                 (L.hops[a] + 1.0) * L.buffer_size;
@@ -422,6 +424,34 @@ int64_t sched_create(
                                 L->core_axon_start.end() - 1);
     for (int32_t a = 0; a < n_axons; ++a) {
         L->core_axons[cursor[L->src_core[a]]++] = a;
+    }
+    // Cache each axon's DOR route (recomputed 3x per message otherwise)
+    L->route_start.assign(n_axons + 1, 0);
+    L->density_adjust.resize(n_axons);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        int count = 0;
+        for_route_links(*L, L->src_x[a], L->src_y[a], L->dest_x[a],
+                        L->dest_y[a], L->src_core_offset[a],
+                        [&](int) { ++count; });
+        L->route_start[a + 1] = L->route_start[a] + count;
+        L->density_adjust[a] = 1.0 / (2.0 + L->hops[a]);
+    }
+    L->route_links.resize(L->route_start[n_axons]);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        int32_t cursor2 = L->route_start[a];
+        for_route_links(*L, L->src_x[a], L->src_y[a], L->dest_x[a],
+                        L->dest_y[a], L->src_core_offset[a],
+                        [&](int link) { L->route_links[cursor2++] = link; });
+    }
+
+    // axon ids are slot-major ascending, so a counting pass gives per-slot
+    // ranges directly
+    L->slot_axon_start.assign(n_neurons + 1, 0);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        L->slot_axon_start[L->src_slot[a] + 1] += 1;
+    }
+    for (int32_t s = 0; s < n_neurons; ++s) {
+        L->slot_axon_start[s + 1] += L->slot_axon_start[s];
     }
 
     std::lock_guard<std::mutex> lock(g_chips_mutex);

@@ -533,20 +533,20 @@ class SpikingChip:
         spike_state = traces["spike"]
         if spike_state.sink.enabled:
             spikes_log = np.asarray(outputs["spike_log"])
-            for i in range(length):
-                t = t0 + i
-                fired_rows = np.nonzero(spikes_log[i])[0]
-                if spike_state.sink.stream:
-                    for j in fired_rows:
-                        group, offset = c.spike_log_labels[j]
-                        spike_state.sink.write(f"{group}.{offset},{t}\n")
-                if spike_state.memory is not None:
-                    spike_state.memory.data.append(
-                        [
-                            NeuronAddress(*c.spike_log_labels[j])
-                            for j in fired_rows
-                        ]
-                    )
+            steps_idx, rows_idx = np.nonzero(spikes_log)
+            if spike_state.sink.stream and len(rows_idx):
+                labels = self._spike_label_cache()
+                lines = [
+                    f"{labels[j]},{t0 + i}\n"
+                    for i, j in zip(steps_idx, rows_idx)
+                ]
+                spike_state.sink.write("".join(lines))
+            if spike_state.memory is not None:
+                addresses = self._spike_address_cache()
+                per_step: list[list] = [[] for _ in range(length)]
+                for i, j in zip(steps_idx, rows_idx):
+                    per_step[i].append(addresses[j])
+                spike_state.memory.data.extend(per_step)
         potential_state = traces["potential"]
         if potential_state.sink.enabled:
             pot_log = np.asarray(outputs["potential_log"])
@@ -627,6 +627,30 @@ class SpikingChip:
             for t in range(t0, t0 + length):
                 if t % heartbeat == 0:
                     print(f"*** Time-step {t} ***")
+
+    def _spike_label_cache(self) -> list[str]:
+        labels = getattr(self, "_spike_labels", None)
+        if labels is None or len(labels) != len(
+            self.compiled.spike_log_labels
+        ):
+            labels = [
+                f"{group}.{offset}"
+                for group, offset in self.compiled.spike_log_labels
+            ]
+            self._spike_labels = labels
+        return labels
+
+    def _spike_address_cache(self) -> list:
+        addresses = getattr(self, "_spike_addresses", None)
+        if addresses is None or len(addresses) != len(
+            self.compiled.spike_log_labels
+        ):
+            addresses = [
+                NeuronAddress(group, offset)
+                for group, offset in self.compiled.spike_log_labels
+            ]
+            self._spike_addresses = addresses
+        return addresses
 
     def _build_feeds(self, length: int) -> dict:
         """Per-chunk host-generated stochastic inputs: TrueNorth LFSR draws
