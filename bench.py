@@ -36,14 +36,19 @@ def build_chip():
     return _build_chip()
 
 
+CHUNK = 8192  # amortizes per-chunk host-link latency
+
+
 def main() -> None:
-    warmup = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    warmup = int(sys.argv[1]) if len(sys.argv) > 1 else 2 * CHUNK
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * CHUNK
 
     chip = build_chip()
-    chip.sim(warmup, timing_model="detailed", heartbeat=0)
+    # warmup compiles the scan at the benched chunk length and absorbs the
+    # tunnel's one-time first-fetch stall
+    chip.sim(warmup, timing_model="detailed", heartbeat=0, chunk=CHUNK)
     t0 = time.perf_counter()
-    chip.sim(steps, timing_model="detailed", heartbeat=0)
+    chip.sim(steps, timing_model="detailed", heartbeat=0, chunk=CHUNK)
     elapsed = time.perf_counter() - t0
 
     ts_per_s = steps / elapsed

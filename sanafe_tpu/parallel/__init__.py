@@ -73,8 +73,11 @@ def pad_compiled(c: CompiledChip, multiple: int) -> CompiledChip:
     neuron_fields = [
         f.name
         for f in dataclasses.fields(CompiledChip)
-        if f.name.startswith(("soma_", "dendrite_", "input_"))
-        and f.name not in ("input_trains", "input_unit_instance")
+        if f.name.startswith(
+            ("soma_", "dendrite_", "input_", "neuron_", "lif_noise_")
+        )
+        and f.name
+        not in ("input_trains", "input_unit_instance", "lif_noise_values")
     ] + [
         "core_id",
         "offset_in_core",
@@ -106,6 +109,16 @@ def pad_compiled(c: CompiledChip, multiple: int) -> CompiledChip:
         if isinstance(arr, np.ndarray) and arr.shape[:1] == (n,):
             setattr(out, name, pad_axis(arr, n_pad))
     out.soma_model = pad_axis(c.soma_model, n_pad, fill=SOMA_MODEL_NONE)
+    # lif_noise_stride must stay >= 1 (used as a modulus divisor guard)
+    if out.lif_noise_stride is not None:
+        out.lif_noise_stride = np.maximum(out.lif_noise_stride, 1)
+    out.plugin_params = {
+        name: {
+            param: pad_axis(values, n_pad)
+            for param, values in params.items()
+        }
+        for name, params in c.plugin_params.items()
+    }
 
     pad_neuron_slot = n  # first padded neuron slot (never fires)
     for name in [f.name for f in dataclasses.fields(CompiledChip)]:

@@ -5,21 +5,16 @@ Multi-chip sharding is validated on virtual CPU devices
 float64, matching the reference's C++ doubles.
 """
 
-import os
-
-# Force CPU: the ambient environment may export JAX_PLATFORMS=axon (the real
-# TPU tunnel), which is slow to compile against and float32-only. Tests use
-# the virtual 8-device CPU mesh and float64 for numerical parity with the
-# reference's C++ doubles.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax
 
+# Force CPU with a virtual 8-device mesh and float64 (numerical parity with
+# the reference's C++ doubles). Env vars are NOT sufficient here: the
+# environment may inject a TPU PJRT plugin via sitecustomize, importing jax
+# before any test code runs, so the platform and device count must be set
+# through jax.config (jax>=0.9 replaced --xla_force_host_platform_device_count
+# with jax_num_cpu_devices).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import pathlib

@@ -1,0 +1,61 @@
+"""Multi-device SPMD tests over the virtual 8-device CPU mesh
+(sanafe_tpu/parallel; conftest sets xla_force_host_platform_device_count=8).
+"""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import sanafe_tpu as sf
+from sanafe_tpu.ops.step import make_device_program
+from sanafe_tpu.parallel import pad_compiled, shard_program, shard_state
+
+
+@pytest.fixture(scope="module")
+def example_chip():
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    return chip
+
+
+def _run_chunk(prog, steps):
+    state = prog.init_state()
+    run = prog.make_scan(steps)
+    state, outputs = run(state, np.int64(1))
+    jax.block_until_ready(outputs)
+    return np.asarray(outputs["stats"], dtype=np.float64)
+
+
+def test_sharded_matches_single_device(example_chip):
+    """The 8-way sharded kernel produces identical per-step stats."""
+    n_devices = len(jax.devices())
+    assert n_devices == 8
+    baseline = _run_chunk(make_device_program(example_chip.compiled), 12)
+
+    padded = pad_compiled(example_chip.compiled, multiple=n_devices)
+    prog = make_device_program(padded)
+    mesh = Mesh(np.array(jax.devices()), ("cores",))
+    with mesh:
+        shard_program(prog, mesh)
+        state = shard_state(prog.init_state(), mesh)
+        run = prog.make_scan(12)
+        state, outputs = run(state, np.int64(1))
+        jax.block_until_ready(outputs)
+    sharded = np.asarray(outputs["stats"], dtype=np.float64)
+    # counters exact; energies/latencies to float tolerance (reduction
+    # order differs across shards)
+    assert np.array_equal(sharded[:, :5], baseline[:, :5])
+    np.testing.assert_allclose(sharded[:, 5:], baseline[:, 5:], rtol=1e-12)
+
+
+def test_padding_slots_are_inert(example_chip):
+    """Padding to a non-divisor multiple leaves every reduction unchanged."""
+    baseline = _run_chunk(make_device_program(example_chip.compiled), 8)
+    padded = pad_compiled(example_chip.compiled, multiple=7)
+    padded_stats = _run_chunk(make_device_program(padded), 8)
+    assert np.array_equal(padded_stats[:, :5], baseline[:, :5])
+    np.testing.assert_allclose(
+        padded_stats[:, 5:], baseline[:, 5:], rtol=1e-12
+    )
