@@ -590,6 +590,7 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     compiled.input_train_rank = np.zeros(n, dtype=np.int32)
     compiled.input_unit_instance = np.zeros(n, dtype=np.int32)
 
+    unknown_attributes: set[tuple[str, str]] = set()
     train_segments: list[np.ndarray] = []
     train_cursor = 0
     # Track neurons sharing an input unit, for the shared-iterator semantics
@@ -643,6 +644,10 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             for key, attribute in attrs.items():
                 to_soma = attribute.forward_to_soma
                 to_dendrite = attribute.forward_to_dendrite
+                _check_attribute_recognized(
+                    unknown_attributes, key, attribute,
+                    soma_unit.spec, dendrite_unit.spec,
+                )
                 if to_soma:
                     model_id = soma_unit.spec.soma_model_id
                     if model_id == SOMA_MODEL_LIF:
@@ -1087,6 +1092,16 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             )
         compiled.neuron_proc_lat_core = proc_lat
 
+    # Attribute-recognition warnings (PipelineUnit::check_attribute,
+    # src/pipeline.cpp:124-149)
+    for model_name, key in sorted(unknown_attributes):
+        import warnings
+
+        warnings.warn(
+            f"Attribute {key!r} not recognized by model {model_name!r}",
+            stacklevel=2,
+        )
+
     # ---- 8. stochastic model support ----
     _build_stochastic_arrays(compiled)
 
@@ -1099,6 +1114,31 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             )
 
     return compiled
+
+
+def _check_attribute_recognized(
+    unknown: set, key: str, attribute, soma_spec: ModelSpec,
+    dendrite_spec: ModelSpec,
+) -> None:
+    """Collect attribute names no forwarded-to model recognizes
+    (PipelineUnit::check_attribute warning parity)."""
+    from .models import FRAMEWORK_ATTRIBUTES
+
+    if key in FRAMEWORK_ATTRIBUTES:
+        return
+    recognized = False
+    if attribute.forward_to_soma:
+        recognized |= (
+            key in soma_spec.attributes or key in soma_spec.param_defaults
+        )
+    if attribute.forward_to_dendrite:
+        recognized |= key in dendrite_spec.attributes
+        recognized |= key in dendrite_spec.param_defaults
+    if attribute.forward_to_synapse:
+        # synapse units recognize weight keys universally
+        recognized |= key in ("w", "weight")
+    if not recognized:
+        unknown.add((soma_spec.name, key))
 
 
 def _ensure_plugin(compiled: CompiledChip, spec: ModelSpec) -> None:

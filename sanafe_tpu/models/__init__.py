@@ -98,6 +98,8 @@ LOIHI_LIF_ATTRIBUTES = {
     "force_update_every_timestep": "(bool) Force soma to update every step.",
     "force_potential": "",
     "leak_decay": "(float) Multiplicative decay applied every step",
+    "input_decay": "(float) Multiplicative decay applied to the input "
+    "current every step",
     "log_u": "(bool) Record input current (u) for Loihi soma.",
     "noise": "(str) Noise source (file-based noise stream).",
     "noise_bits": "(int) The number of noise bits simulated.",

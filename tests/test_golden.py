@@ -61,3 +61,28 @@ def test_golden_fixture(
     assert result["neurons_updated"] == updated
     assert result["energy"]["total"] == pytest.approx(energy, rel=1e-12)
     assert result["sim_time"] == pytest.approx(sim_time, rel=1e-12)
+
+
+def test_dvs_gesture_smoke():
+    """DVS-gesture acceptance workload (loihi.yaml + snn/dvs.yaml,
+    18.7k neurons / 3.5M edges), 20 steps detailed with spike traces."""
+    arch = sf.load_arch(REF / "arch" / "loihi.yaml")
+    net = sf.load_net(REF / "snn" / "dvs.yaml", arch)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    result = chip.sim(
+        20, timing_model="detailed", spike_trace=True, heartbeat=0
+    )
+    assert result["spikes"] == 485746
+    assert result["neurons_fired"] == 2994
+    assert result["packets_sent"] == 31467
+    assert result["neurons_updated"] == 66698
+    assert result["energy"]["total"] == pytest.approx(
+        3.62739205e-05, rel=1e-12
+    )
+    assert result["sim_time"] == pytest.approx(
+        0.00023873386103472448, rel=1e-12
+    )
+    assert [len(x) for x in result["spike_trace"].data[:5]] == [
+        0, 21, 7, 28, 24,
+    ]
