@@ -22,6 +22,8 @@
 #include <queue>
 #include <vector>
 
+#include "cycle_noc.h"
+
 #ifdef _OPENMP
 #include <omp.h>
 #endif
@@ -363,6 +365,39 @@ double sweep_timestep(const ChipLayout &L,
     return last_ts;
 }
 
+double run_cycle_timestep(const ChipLayout &L,
+                          const cycle_noc::Params &params, double clock,
+                          const std::vector<std::vector<Msg>> &queues) {
+    std::vector<cycle_noc::Packet> packets;
+    for (int core = 0; core < L.n_cores; ++core) {
+        double sent = 0.0;
+        for (const Msg &m : queues[core]) {
+            sent += m.gen_delay;
+            cycle_noc::Packet pkt;
+            pkt.src_core = core;
+            pkt.ready_cycle = static_cast<int64_t>(
+                std::llround(sent / clock));
+            if (m.axon < 0) {
+                pkt.dest_router = -1;
+                pkt.dest_core = 0;
+                pkt.proc_cycles = 0;
+                pkt.src_router = 0;
+            } else {
+                const int32_t a = m.axon;
+                pkt.src_router = L.src_x[a] * params.height + L.src_y[a];
+                pkt.dest_router = L.dest_x[a] * params.height + L.dest_y[a];
+                pkt.dest_core = L.dest_core[a];
+                pkt.proc_cycles = static_cast<int64_t>(
+                    std::llround(m.proc_delay / clock));
+            }
+            packets.push_back(pkt);
+        }
+    }
+    cycle_noc::Network network(params, L.n_cores);
+    const int64_t last_cycle = network.run(packets);
+    return static_cast<double>(last_cycle) * clock;
+}
+
 }  // namespace
 
 extern "C" {
@@ -547,6 +582,57 @@ int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
         const uint8_t *updated = fired + mask_bytes;
         build_messages_packed(*L, fired, updated, queues);
         sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+    }
+#endif
+    return 0;
+}
+
+// Cycle-accurate chunk runner: same inputs as sched_run_chunk_packed, but
+// each timestep's messages run through the flit-level cmesh NoC model
+// (native/cycle_noc.h) instead of the semi-analytical sweep. Mirrors the
+// reference's Booksim2 tier (src/schedule.cpp:104-167): sim_time = cycle of
+// the last processed packet * clock_period + sync_delay.
+int32_t sched_run_chunk_cycle(int64_t handle, int32_t T,
+                              const uint8_t *masks, int32_t mask_bytes,
+                              double sync_delay, double *sim_time,
+                              int32_t n_threads) {
+    ChipLayout *L;
+    {
+        std::lock_guard<std::mutex> lock(g_chips_mutex);
+        if (handle < 0 || handle >= static_cast<int64_t>(g_chips.size()) ||
+            g_chips[handle] == nullptr) {
+            return -1;
+        }
+        L = g_chips[handle];
+    }
+    cycle_noc::Params params;
+    params.width = L->noc_w;
+    params.height = L->noc_h;
+    params.cores_per_router = L->links_per_tile - 4;
+    const double clock = params.clock_period;
+    const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
+#ifdef _OPENMP
+    if (n_threads > 0) omp_set_num_threads(n_threads);
+#pragma omp parallel
+    {
+        std::vector<std::vector<Msg>> queues;
+#pragma omp for schedule(dynamic)
+        for (int32_t t = 0; t < T; ++t) {
+            const uint8_t *fired = masks + t * step_stride;
+            const uint8_t *updated = fired + mask_bytes;
+            build_messages_packed(*L, fired, updated, queues);
+            sim_time[t] =
+                run_cycle_timestep(*L, params, clock, queues) + sync_delay;
+        }
+    }
+#else
+    std::vector<std::vector<Msg>> queues;
+    for (int32_t t = 0; t < T; ++t) {
+        const uint8_t *fired = masks + t * step_stride;
+        const uint8_t *updated = fired + mask_bytes;
+        build_messages_packed(*L, fired, updated, queues);
+        sim_time[t] =
+            run_cycle_timestep(*L, params, clock, queues) + sync_delay;
     }
 #endif
     return 0;

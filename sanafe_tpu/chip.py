@@ -4,9 +4,10 @@ Host orchestration equivalent of the reference's ``SpikingChip``
 (``src/chip.hpp:56-210``, ``src/pymodule.cpp:549-706``): owns the compiled
 chip program, runs the jitted timestep scan on device in chunks, streams
 per-chunk outputs back for trace writing and RunData accumulation, and runs
-the chosen timing model (simple on device; detailed as the host event sweep
-in ``ops/timing.py``; ``cycle`` maps to detailed with a warning since the
-external Booksim2 NoC simulator is not part of this rebuild).
+the chosen timing model (simple on device; detailed via the native C++
+event sweep with an exact Python fallback; ``cycle`` via the native
+flit-level cmesh NoC model in ``native/cycle_noc.h``, the Booksim2-tier
+equivalent).
 
 ``sim()`` keyword surface matches the reference Python module
 (``src/pymodule.cpp:1198-1209``).
@@ -259,10 +260,11 @@ class SpikingChip:
             raise RuntimeError("No network loaded; call load() first")
         if timing_model not in TIMING_MODELS:
             raise ValueError(f"Timing model not recognized: {timing_model}")
-        if timing_model == "cycle":
+        if timing_model == "cycle" and self._get_native_scheduler() is None:
             print(
-                "Warning: cycle-accurate (Booksim2) timing is not available "
-                "in the TPU rebuild; falling back to the detailed model.",
+                "Warning: the cycle-accurate NoC model needs the native "
+                "scheduler (C++ toolchain); falling back to the detailed "
+                "model.",
                 file=sys.stderr,
             )
             timing_model = "detailed"
@@ -291,7 +293,7 @@ class SpikingChip:
         record_potentials = traces["potential"].sink.enabled
         record_u = traces["neuron"].sink.enabled
         need_messages = traces["message"].sink.enabled
-        need_detailed = timing_model == "detailed"
+        need_detailed = timing_model in ("detailed", "cycle")
         record_fired_axons = need_messages or need_detailed
 
         prog_key = (
@@ -456,7 +458,7 @@ class SpikingChip:
             None
         ] * length
         need_messages = traces["message"].sink.enabled
-        if timing_model == "detailed" or need_messages:
+        if timing_model in ("detailed", "cycle") or need_messages:
             fetch_start = time.perf_counter()
             masks = np.asarray(outputs["masks_packed"])  # [T, 2, nbytes]
             self.message_processing_wall += (
@@ -464,7 +466,39 @@ class SpikingChip:
             )
             sched_start = time.perf_counter()
             native = self._get_native_scheduler()
-            if (
+            if timing_model == "cycle" and native is not None:
+                # Flit-level cmesh NoC (the reference's Booksim2 tier;
+                # ~100x the detailed model's cost)
+                sim_times = native.run_chunk_cycle(masks, prog_sync)
+                if need_messages:
+                    # message records (delays per the detailed sweep) are
+                    # still produced for the trace surface
+                    n = c.n_neurons
+                    fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
+                        :, :n
+                    ].astype(bool)
+                    updated_n = np.unpackbits(masks[:, 1, :], axis=1)[
+                        :, :n
+                    ].astype(bool)
+                    fired_axons = fired_n[:, c.axon_src_slot]
+                    gen_latency = (
+                        c.soma_lat_access[None, :]
+                        + updated_n * c.soma_lat_update[None, :]
+                        + fired_n * c.soma_lat_spike[None, :]
+                        + c.dendrite_in_neuron_phase[None, :]
+                        * c.dendrite_lat_update[None, :]
+                    )
+                    for i in range(length):
+                        msgs, self._next_mid = build_timestep_messages(
+                            c,
+                            fired_axons[i],
+                            gen_latency[i],
+                            t0 + i,
+                            getattr(self, "_next_mid", 0),
+                        )
+                        schedule_timestep_simple_messages(msgs)
+                        messages_by_step[i] = msgs
+            elif (
                 timing_model == "detailed"
                 and not need_messages
                 and native is not None

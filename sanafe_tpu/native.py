@@ -80,6 +80,11 @@ def get_library() -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
         ctypes.c_double, f64p, ctypes.c_int32,
     ]
+    lib.sched_run_chunk_cycle.restype = ctypes.c_int32
+    lib.sched_run_chunk_cycle.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
+        ctypes.c_double, f64p, ctypes.c_int32,
+    ]
     lib.sched_run_timestep_trace.restype = ctypes.c_int32
     lib.sched_run_timestep_trace.argtypes = [
         ctypes.c_int64, u8p, f64p, ctypes.c_double, f64p,
@@ -196,6 +201,27 @@ class NativeScheduler:
         )
         if rc != 0:
             raise RuntimeError("native scheduler packed run failed")
+        return sim_time
+
+    def run_chunk_cycle(
+        self,
+        masks_packed: np.ndarray,
+        sync_delay: float,
+        n_threads: int = 0,
+    ) -> np.ndarray:
+        """Cycle-accurate sim_time for T timesteps via the flit-level cmesh
+        NoC model (native/cycle_noc.h)."""
+        masks_packed = np.ascontiguousarray(masks_packed, dtype=np.uint8)
+        T, planes, mask_bytes = masks_packed.shape
+        assert planes == 2
+        sim_time = np.empty(T, dtype=np.float64)
+        rc = self._lib.sched_run_chunk_cycle(
+            self._handle, np.int32(T), _ptr(masks_packed, ctypes.c_uint8),
+            np.int32(mask_bytes), float(sync_delay),
+            _ptr(sim_time, ctypes.c_double), np.int32(n_threads),
+        )
+        if rc != 0:
+            raise RuntimeError("native scheduler cycle run failed")
         return sim_time
 
     def run_timestep_trace(

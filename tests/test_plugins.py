@@ -221,3 +221,35 @@ def test_neurofem_compartments():
         expect.append(v)
         comp0, comp1 = 2.0, 3.0  # pre fired this step -> arrives next step
     assert potentials_of(result) == pytest.approx(expect, abs=1e-12)
+
+
+def test_hodgkin_huxley_with_cycle_timing():
+    """BASELINE config 5 equivalent: HH plugin neurons simulated under the
+    cycle-accurate NoC timing tier (the reference's Booksim2 tier)."""
+    import sanafe_tpu as sf
+
+    arch = build_arch(soma_model="hodgkin_huxley", n_tiles=2,
+                      cores_per_tile=2)
+    net = sf.Network()
+    group = net.create_neuron_group(
+        "hh", 3,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "m": Attribute(0.0529), "n": Attribute(0.3177),
+                "h": Attribute(0.5961), "current": Attribute(300.0),
+            },
+            log_spikes=True,
+        ),
+    )
+    cores = arch.cores()
+    for i, neuron in enumerate(group):
+        neuron.connect_to_neuron(group[(i + 1) % 3], {"weight": 1.0})
+        neuron.map_to_core(cores[i % len(cores)])
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    result = chip.sim(40, timing_model="cycle", spike_trace=True,
+                      perf_trace=True, heartbeat=0)
+    assert result["neurons_fired"] >= 3  # periodic HH spiking
+    times = result["perf_trace"].data["sim_time"]
+    assert all(t >= 0 for t in times)
+    assert result["sim_time"] > 0
