@@ -200,26 +200,105 @@ class SpikingChip:
         self.energy_stats_wall = 0.0
 
         self._device_state = None
+        self._nets: list[SpikingNetwork] = []
         self._programs: dict[tuple, DeviceProgram] = {}
         self._scan_cache: dict[tuple, Any] = {}
         self._trace_states: dict[str, _TraceState] = {}
 
     # --- loading -------------------------------------------------------------
     def load(self, net: SpikingNetwork, overwrite: bool = False) -> None:
-        """Map an SNN onto the chip (src/chip.cpp:129-138). ``overwrite``
-        reprograms from scratch; augmenting an already-loaded chip is not yet
-        supported and raises."""
-        if self.compiled is not None and not overwrite:
-            raise NotImplementedError(
-                "Augmenting an already-loaded chip (overwrite=False after a "
-                "previous load) is not supported yet; pass overwrite=True."
-            )
+        """Map an SNN onto the chip (src/chip.cpp:129-184). With
+        ``overwrite=True`` (or on a fresh chip) the chip is reprogrammed
+        from scratch; with ``overwrite=False`` on an already-loaded chip the
+        new network augments it — new neurons map into the remaining slots
+        and existing neurons keep their live state."""
         start = time.perf_counter()
-        self.compiled = compile_chip(self.arch, net)
-        self._programs.clear()
-        self._scan_cache.clear()
-        self._device_state = None
+        if self.compiled is not None and not overwrite:
+            for name in net.groups:
+                if name in self._merged_groups():
+                    raise ValueError(
+                        f"Group {name!r} already mapped on this chip; "
+                        "augmenting requires unique group names"
+                    )
+            # renumber mapping orders so the new net maps after existing ones
+            base = max(
+                (
+                    neuron.mapping_order
+                    for loaded in self._nets
+                    for group in loaded.groups.values()
+                    for neuron in group.neurons
+                ),
+                default=0,
+            )
+            for group in net.groups.values():
+                for neuron in group.neurons:
+                    if neuron.core_address is not None:
+                        neuron.mapping_order += base
+            self._nets.append(net)
+            old_compiled = self.compiled
+            old_state = self._device_state
+            self.compiled = compile_chip(self.arch, self._merged_network())
+            self._programs.clear()
+            self._scan_cache.clear()
+            if old_state is not None:
+                self._device_state = self._migrate_state(
+                    old_compiled, old_state
+                )
+        else:
+            self._nets = [net]
+            self.compiled = compile_chip(self.arch, net)
+            self._programs.clear()
+            self._scan_cache.clear()
+            self._device_state = None
         self.setup_wall += time.perf_counter() - start
+
+    def _merged_groups(self) -> set:
+        return {
+            name for loaded in self._nets for name in loaded.groups
+        }
+
+    def _merged_network(self):
+        """A view combining every loaded network's groups."""
+
+        class _MergedNetwork:
+            pass
+
+        merged = _MergedNetwork()
+        merged.groups = {}
+        merged.name = self._nets[0].name if self._nets else ""
+        for loaded in self._nets:
+            merged.groups.update(loaded.groups)
+        return merged
+
+    def _migrate_state(self, old_compiled, old_state) -> dict:
+        """Carry live per-neuron state across a recompile: existing neurons
+        keep their values at their (possibly shifted) new slots; new
+        neurons start from init."""
+        prog = make_device_program(self.compiled)
+        new_state = {k: np.asarray(v).copy() for k, v in prog.init_state().items()}
+        new_slot_of = {
+            (ref.group_name, ref.offset): ref.slot
+            for ref in self.compiled.neurons
+        }
+        old_slots, new_slots = [], []
+        for ref in old_compiled.neurons:
+            new_slot = new_slot_of.get((ref.group_name, ref.offset))
+            if new_slot is not None:
+                old_slots.append(ref.slot)
+                new_slots.append(new_slot)
+        old_slots = np.asarray(old_slots, dtype=np.int64)
+        new_slots = np.asarray(new_slots, dtype=np.int64)
+        for key, old_value in old_state.items():
+            if key not in new_state:
+                continue
+            old_np = np.asarray(old_value)
+            if key == "delay_ring":
+                new_state[key][:, new_slots] = old_np[:, old_slots]
+            else:
+                new_state[key][new_slots] = old_np[old_slots]
+        return {
+            k: jax.numpy.asarray(v) for k, v in new_state.items()
+        }
 
     @property
     def mapped_neuron_groups(self) -> dict[str, list]:

@@ -172,3 +172,44 @@ def test_checkpoint_resume(tmp_path):
                           potential_trace=True)
     resumed = [row for row in r_resumed["potential_trace"].data]
     assert resumed == direct
+
+
+def test_load_augments_chip():
+    """load(net, overwrite=False) maps an extra network onto remaining
+    slots while preserving live state (src/chip.cpp:129-184)."""
+    from sanafe_tpu.attributes import Attribute
+
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chip.sim(4, timing_model="simple", heartbeat=0)
+    pot_before = chip.mapped_neuron_groups["out"][0].get_potential()
+
+    net2 = sf.Network()
+    extra = net2.create_neuron_group(
+        "extra", 2,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "bias": Attribute(0.4), "threshold": Attribute(1.0),
+            },
+            log_spikes=True,
+        ),
+    )
+    for neuron in extra:
+        neuron.map_to_core(arch.cores()[5])
+    chip.load(net2, overwrite=False)
+    assert chip.mapped_neuron_groups["out"][0].get_potential() == pot_before
+    result = chip.sim(4, timing_model="simple", heartbeat=0,
+                      spike_trace=True)
+    extra_spikes = [
+        address
+        for row in result["spike_trace"].data
+        for address in row
+        if address.group_name == "extra"
+    ]
+    assert extra_spikes
+    # duplicate group names are rejected
+    net3 = sf.Network()
+    net3.create_neuron_group("extra", 1)
+    with pytest.raises(ValueError, match="unique group names"):
+        chip.load(net3, overwrite=False)
