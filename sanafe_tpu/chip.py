@@ -491,7 +491,7 @@ class SpikingChip:
                     states["neuron"].sink, c.u_log_labels, ("u",)
                 )
             if states["perf"].sink.stream:
-                write_perf_header(states["perf"].sink)
+                write_perf_header(states["perf"].sink, c.perf_col_names)
             if states["message"].sink.stream:
                 write_message_header(states["message"].sink)
         self._trace_states = states
@@ -690,6 +690,12 @@ class SpikingChip:
                     )
         perf_state = traces["perf"]
         if perf_state.sink.enabled:
+            opt_values = (
+                np.asarray(outputs["opt_perf"], dtype=np.float64)
+                if "opt_perf" in outputs
+                else None
+            )
+            opt_names = c.perf_col_names
             for i in range(length):
                 t = t0 + i
                 values = {
@@ -706,8 +712,11 @@ class SpikingChip:
                     "network_energy": float(energies[i, 3]),
                     "total_energy": float(energies[i, 4]),
                 }
+                if opt_values is not None:
+                    for k, name in enumerate(opt_names):
+                        values[name] = float(opt_values[i, k])
                 if perf_state.sink.stream:
-                    perf_state.sink.write(
+                    row = (
                         f"{values['timestep']},{values['fired']},"
                         f"{values['updated']},{values['packets']},"
                         f"{values['hops']},{values['spikes']},"
@@ -716,11 +725,18 @@ class SpikingChip:
                         f"{fmt_e(values['dendrite_energy'])},"
                         f"{fmt_e(values['soma_energy'])},"
                         f"{fmt_e(values['network_energy'])},"
-                        f"{fmt_e(values['total_energy'])}\n"
+                        f"{fmt_e(values['total_energy'])}"
                     )
+                    if opt_values is not None:
+                        row += "".join(
+                            f",{fmt_e(values[name])}" for name in opt_names
+                        )
+                    perf_state.sink.write(row + "\n")
                 if perf_state.memory is not None:
                     for key, value in values.items():
-                        perf_state.memory.data[key].append(value)
+                        perf_state.memory.data.setdefault(key, []).append(
+                            value
+                        )
         message_state = traces["message"]
         if message_state.sink.enabled:
             for i in range(length):

@@ -347,6 +347,14 @@ class CompiledChip:
     input_units: list = field(default_factory=list)
     has_poisson: bool = False
 
+    # --- optional perf.csv columns (log_energy/log_latency flags;
+    # sim_trace_get_optional_traces, src/chip.cpp:1520-1555): column k's
+    # per-timestep value = fired @ F[:,k] + updated @ U[:,k] + const[k]
+    perf_col_names: list = field(default_factory=list)
+    perf_col_fired: np.ndarray = None  # [N, K] f64
+    perf_col_updated: np.ndarray = None  # [N, K] f64
+    perf_col_const: np.ndarray = None  # [K] f64
+
     # --- Python plugin soma models (models/__init__.py register_soma_model):
     # specs used by this chip + their per-neuron parameter arrays
     plugin_specs: list = field(default_factory=list)
@@ -1105,6 +1113,9 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     # ---- 8. stochastic model support ----
     _build_stochastic_arrays(compiled)
 
+    # ---- 9. optional perf columns (log_energy / log_latency flags) ----
+    _build_perf_columns(compiled, arch)
+
     # plugin compartmental dendrites (e.g. NeuroFEM)
     for spec in compiled.plugin_specs:
         if spec.dendrite_compartments > 0:
@@ -1157,6 +1168,166 @@ def _plugin_param_array(
 ) -> np.ndarray:
     _ensure_plugin(compiled, spec)
     return compiled.plugin_params[spec.name][key]
+
+
+def _build_perf_columns(compiled: CompiledChip, arch: Architecture) -> None:
+    """Per-tile/core/unit energy+latency perf.csv columns
+    (sim_trace_get_optional_traces, src/chip.cpp:1520-1555)."""
+    n = compiled.n_neurons
+    names: list[str] = []
+    fired_cols: list[np.ndarray] = []
+    updated_cols: list[np.ndarray] = []
+    consts: list[float] = []
+
+    tile_names = {t.id: t.name for t in arch.tiles}
+
+    def add_column(name, fired=None, updated=None, const=0.0):
+        names.append(name)
+        fired_cols.append(
+            fired if fired is not None else np.zeros(n, dtype=np.float64)
+        )
+        updated_cols.append(
+            updated if updated is not None else np.zeros(n, dtype=np.float64)
+        )
+        consts.append(const)
+
+    # per-unit contributions, reused for core columns
+    def unit_energy(unit):
+        fired = np.zeros(n, dtype=np.float64)
+        updated = np.zeros(n, dtype=np.float64)
+        const = 0.0
+        if unit.implements_synapse and compiled.n_edges:
+            mask = compiled.edge_synapse_unit_id == unit.unit_id
+            np.add.at(
+                fired,
+                compiled.edge_src_slot[mask],
+                compiled.edge_synapse_energy[mask],
+            )
+        if unit.implements_dendrite:
+            members = compiled.dendrite_unit_id == unit.unit_id
+            const += float(
+                np.sum(
+                    np.where(
+                        members & compiled.dendrite_in_neuron_phase,
+                        compiled.dendrite_energy_update,
+                        0.0,
+                    )
+                )
+            )
+            if compiled.n_edges:
+                dest_in_unit = members[compiled.edge_dest_slot]
+                np.add.at(
+                    fired,
+                    compiled.edge_src_slot[dest_in_unit],
+                    compiled.edge_dendrite_energy[dest_in_unit],
+                )
+        if unit.implements_soma:
+            members = compiled.soma_unit_id == unit.unit_id
+            const += float(
+                np.sum(np.where(members, compiled.soma_energy_access, 0.0))
+            )
+            updated += np.where(members, compiled.soma_energy_update, 0.0)
+            fired += np.where(members, compiled.soma_energy_spike, 0.0)
+        return fired, updated, const
+
+    def unit_latency(unit):
+        fired = np.zeros(n, dtype=np.float64)
+        updated = np.zeros(n, dtype=np.float64)
+        const = 0.0
+        if unit.implements_synapse and compiled.n_edges:
+            mask = compiled.edge_synapse_unit_id == unit.unit_id
+            np.add.at(
+                fired,
+                compiled.edge_src_slot[mask],
+                compiled.edge_synapse_latency[mask],
+            )
+        if unit.implements_dendrite:
+            members = compiled.dendrite_unit_id == unit.unit_id
+            const += float(
+                np.sum(
+                    np.where(
+                        members & compiled.dendrite_in_neuron_phase,
+                        compiled.dendrite_lat_update,
+                        0.0,
+                    )
+                )
+            )
+            if compiled.n_edges:
+                dest_in_unit = members[compiled.edge_dest_slot]
+                np.add.at(
+                    fired,
+                    compiled.edge_src_slot[dest_in_unit],
+                    compiled.edge_dendrite_latency[dest_in_unit],
+                )
+        if unit.implements_soma:
+            members = compiled.soma_unit_id == unit.unit_id
+            const += float(
+                np.sum(np.where(members, compiled.soma_lat_access, 0.0))
+            )
+            updated += np.where(members, compiled.soma_lat_update, 0.0)
+            fired += np.where(members, compiled.soma_lat_spike, 0.0)
+        return fired, updated, const
+
+    a = compiled.n_axons
+    for tile in arch.tiles:
+        if tile.power_metrics.log_energy:
+            fired = np.zeros(n, dtype=np.float64)
+            if a:
+                mask = compiled.axon_dest_tile == tile.id
+                np.add.at(
+                    fired,
+                    compiled.axon_src_slot[mask],
+                    compiled.axon_hop_energy[mask],
+                )
+            add_column(f"{tile.name}.energy", fired=fired)
+
+    for core in compiled.cores:
+        tile_name = tile_names[core.tile_id]
+        if core.log_energy:
+            fired = np.zeros(n, dtype=np.float64)
+            updated = np.zeros(n, dtype=np.float64)
+            const = 0.0
+            for unit in core.units:
+                f, u, k = unit_energy(unit)
+                fired += f
+                updated += u
+                const += k
+            if a:
+                dest_mask = compiled.axon_dest_core == core.core_id
+                np.add.at(
+                    fired,
+                    compiled.axon_src_slot[dest_mask],
+                    compiled.axon_energy_in[dest_mask],
+                )
+                src_mask = compiled.axon_src_core == core.core_id
+                np.add.at(
+                    fired,
+                    compiled.axon_src_slot[src_mask],
+                    compiled.axon_energy_out[src_mask],
+                )
+            add_column(
+                f"{tile_name}.{core.name}.energy",
+                fired=fired, updated=updated, const=const,
+            )
+        for unit in core.units:
+            if unit.log_energy:
+                f, u, k = unit_energy(unit)
+                add_column(
+                    f"{tile_name}.{core.name}.{unit.name}.energy",
+                    fired=f, updated=u, const=k,
+                )
+            if unit.log_latency:
+                f, u, k = unit_latency(unit)
+                add_column(
+                    f"{tile_name}.{core.name}.{unit.name}.latency",
+                    fired=f, updated=u, const=k,
+                )
+
+    compiled.perf_col_names = names
+    if names:
+        compiled.perf_col_fired = np.stack(fired_cols, axis=1)
+        compiled.perf_col_updated = np.stack(updated_cols, axis=1)
+        compiled.perf_col_const = np.asarray(consts, dtype=np.float64)
 
 
 def _build_stochastic_arrays(compiled: CompiledChip) -> None:

@@ -297,6 +297,10 @@ def make_device_program(
     for spec in c.plugin_specs:
         for param, values in c.plugin_params[spec.name].items():
             arrays[f"plugin_{spec.name}_{param}"] = farr(values)
+    if c.perf_col_names:
+        arrays["perf_col_fired"] = farr(c.perf_col_fired)
+        arrays["perf_col_updated"] = farr(c.perf_col_updated)
+        arrays["perf_col_const"] = farr(c.perf_col_const)
     if c.neuron_proc_lat_core is not None:
         arrays["neuron_proc_lat_core"] = farr(c.neuron_proc_lat_core)
         core_onehot = np.zeros((c.n_neurons, c.n_cores), dtype=np.float32)
@@ -703,6 +707,13 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             ]
         ),
     }
+    if "perf_col_fired" in a:
+        # optional per-tile/core/unit perf columns (log_energy/log_latency)
+        outputs["opt_perf"] = (
+            fired_f @ a["perf_col_fired"]
+            + updated_or_fired.astype(dtype) @ a["perf_col_updated"]
+            + a["perf_col_const"]
+        )
     if prog.record_spikes:
         outputs["spike_log"] = fired[a["spike_log_slots"]].astype(jnp.uint8)
     if prog.record_potentials:

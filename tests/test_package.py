@@ -6,6 +6,8 @@ import matplotlib
 
 matplotlib.use("Agg")
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -213,3 +215,56 @@ def test_load_augments_chip():
     net3.create_neuron_group("extra", 1)
     with pytest.raises(ValueError, match="unique group names"):
         chip.load(net3, overwrite=False)
+
+
+def test_optional_perf_columns():
+    """Per-tile/core/unit energy+latency perf columns appear when
+    log_energy/log_latency flags are set (src/chip.cpp:1520-1555)."""
+    import io
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import build_arch
+    from sanafe_tpu.attributes import Attribute
+
+    arch = build_arch(
+        soma_costs={
+            "energy_access_neuron": 1e-12, "energy_update_neuron": 2e-12,
+            "energy_spike_out": 3e-12, "latency_access_neuron": 1e-9,
+            "latency_update_neuron": 0.0, "latency_spike_out": 0.0,
+        },
+        synapse_costs={"energy_process_spike": 5e-12},
+    )
+    core = arch.cores()[0]
+    for unit in core.pipeline_hw:
+        unit.model_info.log_energy = True
+    core.pipeline.log_energy = True
+    arch.tiles[0].power_metrics.log_energy = True
+    net = sf.Network()
+    group = net.create_neuron_group(
+        "g", 2,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "bias": Attribute(1.1), "threshold": Attribute(1.0),
+            }
+        ),
+    )
+    group[0].connect_to_neuron(group[1], {"weight": 0.1})
+    for neuron in group:
+        neuron.map_to_core(core)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    buf = io.StringIO()
+    chip.sim(3, timing_model="simple", heartbeat=0, perf_trace=buf)
+    header = buf.getvalue().splitlines()[0].split(",")
+    assert "tile0.core0.soma.energy" in header
+    assert "tile0.energy" in header
+
+    chip2 = sf.SpikingChip(arch)
+    chip2.load(net)
+    result = chip2.sim(3, timing_model="simple", heartbeat=0,
+                       perf_trace=True)
+    # both neurons fire every step: 2 x (access 1 + update 2 + spike 3) pJ
+    assert result["perf_trace"].data["tile0.core0.soma.energy"] == (
+        pytest.approx([1.2e-11] * 3)
+    )
