@@ -617,8 +617,22 @@ class SpikingNetwork:
         if name in self.groups:
             raise ValueError(f"Group: {name} already exists in SNN.")
         if default_config is None:
+            attrs = dict(model_attributes or {})
+            # reserved keys passed inside model_attributes lift into their
+            # dedicated config fields (friendlier than the reference's
+            # hard error for the common kwargs style)
+            if "log_spikes" in attrs and log_spikes is None:
+                log_spikes = bool(attrs.pop("log_spikes"))
+            if "log_potential" in attrs and log_potential is None:
+                log_potential = bool(attrs.pop("log_potential"))
+            if "soma_hw_name" in attrs and soma_hw_name is None:
+                soma_hw_name = str(attrs.pop("soma_hw_name"))
+            if "synapse_hw_name" in attrs and default_synapse_hw_name is None:
+                default_synapse_hw_name = str(attrs.pop("synapse_hw_name"))
+            if "dendrite_hw_name" in attrs and dendrite_hw_name is None:
+                dendrite_hw_name = str(attrs.pop("dendrite_hw_name"))
             default_config = NeuronConfiguration(
-                model_attributes=_wrap_attribute_dict(model_attributes or {}),
+                model_attributes=_wrap_attribute_dict(attrs),
                 soma_hw_name=soma_hw_name,
                 default_synapse_hw_name=default_synapse_hw_name,
                 dendrite_hw_name=dendrite_hw_name,
