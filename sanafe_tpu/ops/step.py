@@ -132,6 +132,7 @@ class DeviceProgram:
     record_u: bool
     sync_delay: float
     block: Optional[BlockDelivery] = None
+    pallas_delivery: Optional[Any] = None
 
     def init_state(self) -> dict[str, jnp.ndarray]:
         c = self.compiled
@@ -199,10 +200,23 @@ def make_device_program(
     record_potentials: bool = False,
     record_spikes: bool = False,
     record_u: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> DeviceProgram:
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     c = compiled
+    if use_pallas is None:
+        import os
+
+        # Opt-in: the activity-gated pallas kernel is exact and skips
+        # inactive weight blocks, but at DVS-like activity (~60% of blocks
+        # live) the compaction overhead roughly cancels the saved HBM
+        # traffic. Enable for sparser workloads.
+        use_pallas = (
+            os.environ.get("SANAFE_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+        )
 
     def farr(x):
         return jnp.asarray(x, dtype=dtype)
@@ -307,11 +321,16 @@ def make_device_program(
         core_onehot[np.arange(c.n_neurons), c.core_id] = 1.0
         arrays["core_onehot"] = farr(core_onehot)
     block = build_block_delivery(c)
+    pallas_delivery = None
     if block is not None:
-        arrays["block_weights"] = jnp.asarray(block.weights, dtype=dtype)
         arrays["block_counts"] = block.counts
         arrays["block_src_tiles"] = block.src_tiles
         arrays["block_dest_tiles"] = block.dest_tiles
+        arrays["block_weights"] = jnp.asarray(block.weights, dtype=dtype)
+        if use_pallas and block.weights.shape[0] > 0 and block.tile >= 128:
+            from .pallas_delivery import make_delivery_fn
+
+            pallas_delivery = make_delivery_fn(block, dtype)
     sync_delay = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
     return DeviceProgram(
         compiled=c,
@@ -323,6 +342,7 @@ def make_device_program(
         record_u=record_u,
         sync_delay=sync_delay,
         block=block,
+        pallas_delivery=pallas_delivery,
     )
 
 
@@ -571,17 +591,22 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         fired_pad = jnp.zeros(blk.n_pad, dtype=dtype).at[:n].set(fired_f)
         tiles_f = fired_pad.reshape(blk.n_tiles, blk.tile)
         if blk.weights.shape[0] > 0:
-            xs = tiles_f[a["block_src_tiles"]]  # [B, tile] static row gather
-            y = jnp.einsum(
-                "bi,bij->bj", xs, a["block_weights"],
-                preferred_element_type=dtype,
-            )
-            acc = jax.ops.segment_sum(
-                y,
-                a["block_dest_tiles"],
-                num_segments=blk.n_tiles,
-                indices_are_sorted=True,
-            )
+            if prog.pallas_delivery is not None:
+                # activity-gated pallas kernel: inactive weight blocks are
+                # never fetched from HBM
+                acc = prog.pallas_delivery(tiles_f, a["block_weights"])
+            else:
+                xs = tiles_f[a["block_src_tiles"]]  # [B, tile] static gather
+                y = jnp.einsum(
+                    "bi,bij->bj", xs, a["block_weights"],
+                    preferred_element_type=dtype,
+                )
+                acc = jax.ops.segment_sum(
+                    y,
+                    a["block_dest_tiles"],
+                    num_segments=blk.n_tiles,
+                    indices_are_sorted=True,
+                )
             buffer_current = acc.reshape(-1)[:n]
             fired_pad_i8 = (
                 jnp.zeros(blk.n_pad, dtype=jnp.int8)

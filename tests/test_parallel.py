@@ -59,3 +59,33 @@ def test_padding_slots_are_inert(example_chip):
     np.testing.assert_allclose(
         padded_stats[:, 5:], baseline[:, 5:], rtol=1e-12
     )
+
+
+def test_pallas_delivery_interpret_matches_einsum():
+    """The activity-gated pallas delivery kernel (interpret mode on CPU)
+    matches the dense einsum + segment-sum path exactly."""
+    import jax.numpy as jnp
+
+    from sanafe_tpu.ops.pallas_delivery import make_delivery_fn
+    from sanafe_tpu.ops.step import build_block_delivery
+
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    block = build_block_delivery(chip.compiled)
+    assert block is not None and block.weights.shape[0] > 0
+    delivery = make_delivery_fn(block, jnp.float64, interpret=True)
+    weights = jnp.asarray(block.weights, dtype=jnp.float64)
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        fired = rng.random((block.n_tiles, block.tile)) < (
+            0.0 if trial == 0 else 0.2 * trial
+        )
+        tiles = jnp.asarray(fired, dtype=jnp.float64)
+        got = np.asarray(delivery(tiles, weights))
+        xs = tiles[np.asarray(block.src_tiles)]
+        y = jnp.einsum("bi,bij->bj", xs, weights)
+        expect = np.zeros((block.n_tiles, block.tile))
+        np.add.at(expect, np.asarray(block.dest_tiles), np.asarray(y))
+        np.testing.assert_allclose(got, expect, rtol=1e-12, atol=0)
