@@ -695,12 +695,29 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
                     train_segments.append(arr)
                     train_cursor += arr.size
 
-    # Shared-iterator ranks for input units with multiple neurons
+    # Shared-unit semantics (src/models.hpp:344-378): an InputModel unit has
+    # ONE spikes vector / poisson probability / rate — the last-set neuron
+    # attribute wins — and one iterator that every member's update advances.
+    # Member of rank r therefore reads unit_train[(t-1)*stride + r].
     for unit_id, members in input_unit_members.items():
         stride = len(members)
+        last_start, last_len = 0, 0
+        last_poisson, last_rate_interval = 0.0, 0
+        for i in members:  # slot order == attribute application order
+            if compiled.input_train_len[i] > 0:
+                last_start = compiled.input_train_start[i]
+                last_len = compiled.input_train_len[i]
+            if compiled.input_poisson[i] > 0.0:
+                last_poisson = compiled.input_poisson[i]
+            if compiled.input_rate_interval[i] > 0:
+                last_rate_interval = compiled.input_rate_interval[i]
         for rank, i in enumerate(members):
             compiled.input_train_stride[i] = stride
             compiled.input_train_rank[i] = rank
+            compiled.input_train_start[i] = last_start
+            compiled.input_train_len[i] = last_len
+            compiled.input_poisson[i] = last_poisson
+            compiled.input_rate_interval[i] = last_rate_interval
 
     compiled.input_trains = (
         np.concatenate(train_segments)

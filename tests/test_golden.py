@@ -86,3 +86,21 @@ def test_dvs_gesture_smoke():
     assert [len(x) for x in result["spike_trace"].data[:5]] == [
         0, 21, 7, 28, 24,
     ]
+
+
+def test_dendrite_yaml_shared_input_unit():
+    """dendrite.yaml exercises the shared-input-unit quirk: one spikes
+    vector per unit (last-set wins) consumed round-robin by its members
+    (src/models.hpp:344-378), so inputs.0 fires at t=1 even though the
+    train was written by inputs.2."""
+    arch = sf.load_arch(REF / "arch" / "demo_with_dendrites.yaml")
+    net = sf.load_net(REF / "snn" / "dendrite.yaml", arch)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    result = chip.sim(10, timing_model="detailed", potential_trace=True,
+                      heartbeat=0)
+    assert result["neurons_fired"] == 1
+    assert result["spikes"] == 1
+    potentials = [row[0] for row in result["potential_trace"].data]
+    assert potentials[0] == 0.0
+    assert potentials[1] == pytest.approx(10.0)
