@@ -118,7 +118,7 @@ class ModelInfo:
     update_every_timestep: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class PipelineUnitConfiguration:
     """A named synapse/dendrite/soma unit within a core (src/arch.hpp)."""
 
@@ -129,13 +129,13 @@ class PipelineUnitConfiguration:
     implements_soma: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class AxonInConfiguration:
     name: str
     metrics: AxonInPowerMetrics
 
 
-@dataclass
+@dataclass(slots=True)
 class AxonOutConfiguration:
     name: str
     metrics: AxonOutPowerMetrics

@@ -49,7 +49,7 @@ class HardwareMappingError(RuntimeError):
     (src/mapped.hpp:30-38)."""
 
 
-@dataclass
+@dataclass(slots=True)
 class HardwareUnit:
     """One instantiated pipeline unit inside a core (host-side metadata)."""
 
