@@ -123,3 +123,55 @@ def test_yaml_snn_error_cases(example_arch, snippet, match):
     with pytest.raises((DescriptionParsingError, KeyError, ValueError)) as e:
         parse_network_file(io.StringIO(snippet), example_arch)
     assert match.lower() in str(e.value).lower()
+
+
+ARCH_HEADER = """
+architecture:
+  name: a
+  attributes: {topology: mesh, width: 1, height: 1, link_buffer_size: 1}
+  tile:
+    - name: t
+      attributes: {energy_north_hop: 0, latency_north_hop: 0,
+                   energy_east_hop: 0, latency_east_hop: 0,
+                   energy_south_hop: 0, latency_south_hop: 0,
+                   energy_west_hop: 0, latency_west_hop: 0}
+      core:
+        - name: c
+          attributes: {buffer_position: soma, max_neurons_supported: 8}
+"""
+
+
+@pytest.mark.parametrize("missing", ["axon_in", "synapse", "dendrite",
+                                     "soma", "axon_out"])
+def test_yaml_arch_missing_core_section(missing):
+    """All five pipeline sections are required (src/yaml_arch.cpp:246-293)."""
+    from sanafe_tpu.yaml_arch import parse_arch_file
+
+    sections = {
+        "axon_in": ("          axon_in:\n            - name: ai\n"
+                    "              attributes: {energy_message_in: 0, "
+                    "latency_message_in: 0}\n"),
+        "synapse": ("          synapse:\n            - name: sy\n"
+                    "              attributes: {model: current_based}\n"),
+        "dendrite": ("          dendrite:\n            - name: de\n"
+                     "              attributes: {model: accumulator}\n"),
+        "soma": ("          soma:\n            - name: so\n"
+                 "              attributes: {model: leaky_integrate_fire}\n"),
+        "axon_out": ("          axon_out:\n            - name: ao\n"
+                     "              attributes: {energy_message_out: 0, "
+                     "latency_message_out: 0}\n"),
+    }
+    text = ARCH_HEADER + "".join(
+        body for name, body in sections.items() if name != missing
+    )
+    with pytest.raises(DescriptionParsingError, match=missing):
+        parse_arch_file(io.StringIO(text))
+
+
+def test_yaml_range_errors():
+    from sanafe_tpu.utils.ranges import parse_range
+
+    with pytest.raises(ValueError):
+        parse_range("t[5..2]")
+    with pytest.raises(ValueError):
+        parse_range("t[..2]")
