@@ -645,7 +645,9 @@ class SpikingChip:
         # --- trace writing ---
         spike_state = traces["spike"]
         if spike_state.sink.enabled:
-            spikes_log = np.asarray(outputs["spike_log"])
+            spikes_log = np.unpackbits(
+                np.asarray(outputs["spike_log_packed"]), axis=1
+            )[:, : len(c.spike_log_slots)]
             steps_idx, rows_idx = np.nonzero(spikes_log)
             if spike_state.sink.stream and len(rows_idx):
                 labels = self._spike_label_cache()

@@ -740,7 +740,7 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             + a["perf_col_const"]
         )
     if prog.record_spikes:
-        outputs["spike_log"] = fired[a["spike_log_slots"]].astype(jnp.uint8)
+        outputs["spike_log_packed"] = _packbits(fired[a["spike_log_slots"]])
     if prog.record_potentials:
         outputs["potential_log"] = potential[a["potential_log_slots"]]
     if prog.record_u:
