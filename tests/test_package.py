@@ -268,3 +268,62 @@ def test_optional_perf_columns():
     assert result["perf_trace"].data["tile0.core0.soma.energy"] == (
         pytest.approx([1.2e-11] * 3)
     )
+
+
+def test_cycle_model_with_message_trace():
+    """Cycle timing + message tracing coexist (records carry the simple
+    model's per-message delays while sim_time comes from the NoC model)."""
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    result = chip.sim(8, timing_model="cycle", message_trace=True,
+                      heartbeat=0)
+    rows = [m for step in result["message_trace"].data for m in step]
+    assert rows
+    assert all(m["mid"] >= -1 for m in rows)
+    assert result["sim_time"] > 0
+
+
+def test_checkpoint_covers_delay_ring_state(tmp_path):
+    """save_state round-trips per-edge model state (delay rings)."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from helpers import build_arch
+    from sanafe_tpu.attributes import Attribute
+
+    arch = build_arch(dendrite_model="accumulator_with_delay")
+    net = sf.Network()
+    pre = net.create_neuron_group(
+        "pre", 1,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "bias": Attribute(1.1), "threshold": Attribute(1.0),
+            }
+        ),
+    )
+    post = net.create_neuron_group(
+        "post", 1,
+        sf.NeuronConfiguration(
+            model_attributes={"threshold": Attribute(1e6)},
+            log_potential=True,
+        ),
+    )
+    edge_id = pre[0].connect_to_neuron(post[0], {"weight": 1.0, "delay": 3})
+    del edge_id
+    core = arch.cores()[0]
+    pre[0].map_to_core(core)
+    post[0].map_to_core(core)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chip.sim(2, timing_model="simple", heartbeat=0)
+    chip.save_state(tmp_path / "ring.npz")
+    r_direct = chip.sim(6, timing_model="simple", heartbeat=0,
+                        potential_trace=True)
+
+    chip2 = sf.SpikingChip(arch)
+    chip2.load(net)
+    chip2.load_state(tmp_path / "ring.npz")
+    r_resumed = chip2.sim(6, timing_model="simple", heartbeat=0,
+                          potential_trace=True)
+    assert r_resumed["potential_trace"].data == r_direct["potential_trace"].data
