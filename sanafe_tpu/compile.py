@@ -1340,11 +1340,20 @@ def _build_perf_columns(compiled: CompiledChip, arch: Architecture) -> None:
                     fired=f, updated=u, const=k,
                 )
 
-    compiled.perf_col_names = names
+    # Lexicographic column order (the reference collects optional traces
+    # in a std::map; src/chip.cpp:1520-1555)
+    order = sorted(range(len(names)), key=lambda k: names[k])
+    compiled.perf_col_names = [names[k] for k in order]
     if names:
-        compiled.perf_col_fired = np.stack(fired_cols, axis=1)
-        compiled.perf_col_updated = np.stack(updated_cols, axis=1)
-        compiled.perf_col_const = np.asarray(consts, dtype=np.float64)
+        compiled.perf_col_fired = np.stack(
+            [fired_cols[k] for k in order], axis=1
+        )
+        compiled.perf_col_updated = np.stack(
+            [updated_cols[k] for k in order], axis=1
+        )
+        compiled.perf_col_const = np.asarray(
+            [consts[k] for k in order], dtype=np.float64
+        )
 
 
 def _build_stochastic_arrays(compiled: CompiledChip) -> None:
