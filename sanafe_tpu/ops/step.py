@@ -119,6 +119,75 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
     )
 
 
+def build_rollup_matrix(c: CompiledChip):
+    """Coefficient matrix for the fused stats roll-up.
+
+    Every per-timestep reduction the kernel needs — the 9 leading stats
+    counters/energies, the per-core neuron/message latency sums feeding the
+    simple timing model (src/schedule.cpp:61-102), and the optional perf
+    columns — is an affine function of the fired / updated masks:
+
+        out_k = sum_i fired_i * F[i,k] + sum_i upd_i * U[i,k] + const_k
+
+    so the whole roll-up is ONE matvec  concat(fired, updated) @ R + const
+    with R = vstack(F, U) of shape [2N, K]. On small chips this replaces
+    ~20 tiny reduction kernels per scan iteration (each paying fixed TPU
+    kernel overhead) with a single MXU op.
+
+    Returns (R [2N, K] f64, const [K] f64). Column layout:
+    0..8  spike_ops, packets, hops, updated, fired, synapse_e, dendrite_e,
+          soma_e, network_e   (stats rows 0..8 in this order)
+    9..9+C               per-core neuron-processing latency sums
+    9+C..9+2C            per-core message-processing latency sums
+    9+2C..               optional perf columns (c.perf_col_names order)
+    """
+    n = c.n_neurons
+    n_cores = c.n_cores
+    n_opt = len(c.perf_col_names)
+    K = 9 + 2 * n_cores + n_opt
+    F = np.zeros((n, K), dtype=np.float64)
+    U = np.zeros((n, K), dtype=np.float64)
+    const = np.zeros(K, dtype=np.float64)
+
+    F[:, 0] = c.neuron_spike_ops
+    F[:, 1] = c.neuron_n_axons
+    F[:, 2] = c.neuron_axon_hops
+    U[:, 3] = 1.0
+    F[:, 4] = 1.0
+    F[:, 5] = c.neuron_synapse_energy
+    F[:, 6] = c.neuron_msg_dendrite_energy
+    F[:, 7] = c.soma_energy_spike
+    U[:, 7] = c.soma_energy_update
+    F[:, 8] = c.neuron_axon_energy
+    const[6] = float(
+        np.sum(np.where(c.dendrite_in_neuron_phase, c.dendrite_energy_update, 0.0))
+    )
+    const[7] = float(np.sum(c.soma_energy_access))
+
+    onehot = np.zeros((n, n_cores), dtype=np.float64)
+    onehot[np.arange(n), c.core_id] = 1.0
+    lat0 = 9
+    gen_const = c.soma_lat_access + np.where(
+        c.dendrite_in_neuron_phase, c.dendrite_lat_update, 0.0
+    )
+    F[:, lat0 : lat0 + n_cores] = (
+        (c.soma_lat_spike + c.neuron_axon_latency_out)[:, None] * onehot
+    )
+    U[:, lat0 : lat0 + n_cores] = c.soma_lat_update[:, None] * onehot
+    const[lat0 : lat0 + n_cores] = gen_const @ onehot
+
+    msg0 = lat0 + n_cores
+    F[:, msg0 : msg0 + n_cores] = c.neuron_proc_lat_core
+
+    if n_opt:
+        opt0 = msg0 + n_cores
+        F[:, opt0:] = c.perf_col_fired
+        U[:, opt0:] = c.perf_col_updated
+        const[opt0:] = c.perf_col_const
+
+    return np.concatenate([F, U], axis=0), const
+
+
 @dataclass
 class DeviceProgram:
     """Compiled device arrays + the jitted scan step for one chip."""
@@ -133,6 +202,12 @@ class DeviceProgram:
     sync_delay: float
     block: Optional[BlockDelivery] = None
     pallas_delivery: Optional[Any] = None
+    # Statically known set of soma model ids present on this chip; absent
+    # model paths are never traced into the step, cutting kernel count.
+    models_present: frozenset = frozenset()
+    # Fused roll-up (float32 perf path): every per-step counter/energy/
+    # latency reduction collapses into one [2N] @ [2N, K] matvec.
+    fused_rollup: bool = False
 
     def init_state(self) -> dict[str, jnp.ndarray]:
         c = self.compiled
@@ -332,6 +407,35 @@ def make_device_program(
 
             pallas_delivery = make_delivery_fn(block, dtype)
     sync_delay = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
+    models_present = frozenset(int(m) for m in np.unique(c.soma_model))
+    # The fused roll-up trades one dense [2N, K] read per step for ~20
+    # kernel launches; it wins when the matrix is small. float32-only so the
+    # float64 parity path keeps the reference's exact accumulation shape.
+    n_rollup_cols = 9 + 2 * c.n_cores + len(c.perf_col_names)
+    fused_rollup = (
+        dtype == jnp.float32
+        and c.neuron_proc_lat_core is not None
+        and 2 * c.n_neurons * n_rollup_cols * 4 <= (16 << 20)
+    )
+    if fused_rollup:
+        rollup, rollup_const = build_rollup_matrix(c)
+        arrays["rollup_matrix"] = farr(rollup)
+        arrays["rollup_const"] = farr(rollup_const)
+        if (
+            block is not None
+            and block.weights.shape[0] > 0
+            and pallas_delivery is None
+            and block.weights.size * 8 <= (16 << 20)
+        ):
+            # One matmul delivers both the weighted currents and the input
+            # counts: [B, tile, 2*tile] = [weights | counts]
+            arrays["block_wc"] = jnp.concatenate(
+                [
+                    arrays["block_weights"],
+                    jnp.asarray(block.counts, dtype=dtype),
+                ],
+                axis=2,
+            )
     return DeviceProgram(
         compiled=c,
         dtype=dtype,
@@ -343,6 +447,8 @@ def make_device_program(
         sync_delay=sync_delay,
         block=block,
         pallas_delivery=pallas_delivery,
+        models_present=models_present,
+        fused_rollup=fused_rollup,
     )
 
 
@@ -511,39 +617,52 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     valid = state["buffer_valid"]
     current = state["buffer_current"]
 
-    is_lif = a["soma_model"] == SOMA_MODEL_LIF
-    is_tn = a["soma_model"] == SOMA_MODEL_TRUENORTH
-    is_input = a["soma_model"] == SOMA_MODEL_INPUT
-
-    v_lif, u_lif, refractory, upd_lif, fired_lif = _lif_update(
-        prog, a, state, valid, current, t
+    # Model paths are statically gated on the models actually present so
+    # absent ones never contribute kernels to the traced step.
+    present = prog.models_present or frozenset(
+        int(m) for m in np.unique(c.soma_model)
     )
-    tn_noise = None
-    if "tn_noise" in feeds:
-        tn_noise = (
-            jnp.zeros(n, dtype=dtype)
-            .at[a["tn_noise_slots"]]
-            .set(feeds["tn_noise"].astype(dtype))
+    potential = state["potential"]
+    input_current = state["input_current"]
+    refractory = state["refractory"]
+    fired = jnp.zeros(n, dtype=bool)
+    updated = jnp.zeros(n, dtype=bool)
+
+    if SOMA_MODEL_LIF in present:
+        is_lif = a["soma_model"] == SOMA_MODEL_LIF
+        v_lif, u_lif, refr_lif, upd_lif, fired_lif = _lif_update(
+            prog, a, state, valid, current, t
         )
-    v_tn, upd_tn, fired_tn = _truenorth_update(
-        prog, a, state, valid, current, tn_noise
-    )
-    fired_input = _input_update(prog, a, t)
-    if "poisson" in feeds:
-        fired_input = fired_input | (
-            jnp.zeros(n, dtype=bool)
-            .at[a["poisson_slots"]]
-            .set(feeds["poisson"])
+        potential = jnp.where(is_lif, v_lif, potential)
+        input_current = jnp.where(is_lif, u_lif, input_current)
+        refractory = jnp.where(is_lif, refr_lif, refractory)
+        fired = fired | (is_lif & fired_lif)
+        updated = updated | (is_lif & upd_lif)
+    if SOMA_MODEL_TRUENORTH in present:
+        is_tn = a["soma_model"] == SOMA_MODEL_TRUENORTH
+        tn_noise = None
+        if "tn_noise" in feeds:
+            tn_noise = (
+                jnp.zeros(n, dtype=dtype)
+                .at[a["tn_noise_slots"]]
+                .set(feeds["tn_noise"].astype(dtype))
+            )
+        v_tn, upd_tn, fired_tn = _truenorth_update(
+            prog, a, state, valid, current, tn_noise
         )
-
-    potential = jnp.where(is_lif, v_lif, jnp.where(is_tn, v_tn, state["potential"]))
-    input_current = jnp.where(is_lif, u_lif, state["input_current"])
-    refractory = jnp.where(is_lif, refractory, state["refractory"])
-
-    fired = (
-        (is_lif & fired_lif) | (is_tn & fired_tn) | (is_input & fired_input)
-    )
-    updated = (is_lif & upd_lif) | (is_tn & upd_tn)
+        potential = jnp.where(is_tn, v_tn, potential)
+        fired = fired | (is_tn & fired_tn)
+        updated = updated | (is_tn & upd_tn)
+    if SOMA_MODEL_INPUT in present:
+        is_input = a["soma_model"] == SOMA_MODEL_INPUT
+        fired_input = _input_update(prog, a, t)
+        if "poisson" in feeds:
+            fired_input = fired_input | (
+                jnp.zeros(n, dtype=bool)
+                .at[a["poisson_slots"]]
+                .set(feeds["poisson"])
+            )
+        fired = fired | (is_input & fired_input)
 
     plugin_state_updates = {}
     for spec in c.plugin_specs:
@@ -579,11 +698,6 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
 
     fired_f = fired.astype(dtype)
 
-    # --- axon phase counters: per-neuron aggregates replace per-axon
-    # reductions (a neuron's axons all fire together; src/chip.cpp:802-834)
-    packets = jnp.sum(fired * a["neuron_n_axons"], dtype=jnp.int64)
-    total_hops = jnp.sum(fired * a["neuron_axon_hops"], dtype=jnp.int64)
-
     # --- message phase: spike delivery ---
     if prog.block is not None:
         # MXU block-dense matmul path (no per-edge gathers/scatters)
@@ -591,44 +705,62 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         fired_pad = jnp.zeros(blk.n_pad, dtype=dtype).at[:n].set(fired_f)
         tiles_f = fired_pad.reshape(blk.n_tiles, blk.tile)
         if blk.weights.shape[0] > 0:
-            if prog.pallas_delivery is not None:
-                # activity-gated pallas kernel: inactive weight blocks are
-                # never fetched from HBM
-                acc = prog.pallas_delivery(tiles_f, a["block_weights"])
-            else:
-                xs = tiles_f[a["block_src_tiles"]]  # [B, tile] static gather
+            if "block_wc" in a:
+                # Single matmul delivers weighted currents and input counts
+                # together ([weights | counts] columns), halving the dot +
+                # segment-sum kernel count on small chips.
+                xs = tiles_f[a["block_src_tiles"]]
                 y = jnp.einsum(
-                    "bi,bij->bj", xs, a["block_weights"],
+                    "bi,bij->bj", xs, a["block_wc"],
                     preferred_element_type=dtype,
                 )
-                acc = jax.ops.segment_sum(
+                acc_wc = jax.ops.segment_sum(
                     y,
                     a["block_dest_tiles"],
                     num_segments=blk.n_tiles,
                     indices_are_sorted=True,
                 )
-            buffer_current = acc.reshape(-1)[:n]
-            fired_pad_i8 = (
-                jnp.zeros(blk.n_pad, dtype=jnp.int8)
-                .at[:n]
-                .set(fired.astype(jnp.int8))
-            )
-            xi = fired_pad_i8.reshape(blk.n_tiles, blk.tile)[
-                a["block_src_tiles"]
-            ]
-            cnt = jax.lax.dot_general(
-                xi,
-                a["block_counts"],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
-            )
-            cnt_acc = jax.ops.segment_sum(
-                cnt,
-                a["block_dest_tiles"],
-                num_segments=blk.n_tiles,
-                indices_are_sorted=True,
-            )
-            any_input = cnt_acc.reshape(-1)[:n] > 0
+                buffer_current = acc_wc[:, : blk.tile].reshape(-1)[:n]
+                any_input = acc_wc[:, blk.tile :].reshape(-1)[:n] > 0
+            else:
+                if prog.pallas_delivery is not None:
+                    # activity-gated pallas kernel: inactive weight blocks
+                    # are never fetched from HBM
+                    acc = prog.pallas_delivery(tiles_f, a["block_weights"])
+                else:
+                    xs = tiles_f[a["block_src_tiles"]]  # [B, tile] gather
+                    y = jnp.einsum(
+                        "bi,bij->bj", xs, a["block_weights"],
+                        preferred_element_type=dtype,
+                    )
+                    acc = jax.ops.segment_sum(
+                        y,
+                        a["block_dest_tiles"],
+                        num_segments=blk.n_tiles,
+                        indices_are_sorted=True,
+                    )
+                buffer_current = acc.reshape(-1)[:n]
+                fired_pad_i8 = (
+                    jnp.zeros(blk.n_pad, dtype=jnp.int8)
+                    .at[:n]
+                    .set(fired.astype(jnp.int8))
+                )
+                xi = fired_pad_i8.reshape(blk.n_tiles, blk.tile)[
+                    a["block_src_tiles"]
+                ]
+                cnt = jax.lax.dot_general(
+                    xi,
+                    a["block_counts"],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )
+                cnt_acc = jax.ops.segment_sum(
+                    cnt,
+                    a["block_dest_tiles"],
+                    num_segments=blk.n_tiles,
+                    indices_are_sorted=True,
+                )
+                any_input = cnt_acc.reshape(-1)[:n] > 0
         else:
             buffer_current = jnp.zeros(n, dtype=dtype)
             any_input = jnp.zeros(n, dtype=bool)
@@ -644,56 +776,106 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             state_comp_buffer,
         ) = _scatter_delivery(prog, a, c, state, fired, dtype, n)
 
-    # --- counters & energy roll-up from per-neuron aggregates
-    # (src/chip.cpp:1028-1051,1171-1261) ---
-    spike_ops = jnp.sum(fired * a["neuron_spike_ops"], dtype=jnp.int64)
-    neurons_updated = jnp.sum(updated_or_fired, dtype=jnp.int64)
-    neurons_fired = jnp.sum(fired, dtype=jnp.int64)
-
-    zero_ = zero
-    synapse_energy = jnp.sum(fired_f * a["neuron_synapse_energy"])
-    dendrite_energy = jnp.sum(
-        fired_f * a["neuron_msg_dendrite_energy"]
-    ) + jnp.sum(
-        jnp.where(
-            a["dendrite_in_neuron_phase"], a["dendrite_energy_update"], zero_
+    if prog.fused_rollup:
+        # --- fused roll-up: every counter/energy/latency reduction as one
+        # matvec against the precomputed coefficient matrix (see
+        # build_rollup_matrix). Column order matches the stats rows.
+        upd_f = updated_or_fired.astype(dtype)
+        lhs = jnp.concatenate([fired_f, upd_f])
+        r = lhs @ a["rollup_matrix"] + a["rollup_const"]
+        n_cores = c.n_cores
+        lat0, msg0 = 9, 9 + n_cores
+        opt0 = msg0 + n_cores
+        total_energy = r[5] + r[6] + r[7] + r[8]
+        sim_time = jnp.maximum(
+            jnp.max(r[lat0:msg0]), jnp.max(r[msg0:opt0])
+        ) + jnp.asarray(prog.sync_delay, dtype=dtype)
+        stats = jnp.concatenate(
+            [r[:9], jnp.stack([total_energy, sim_time])]
         )
-    )
-    soma_energy = (
-        jnp.sum(a["soma_energy_access"])
-        + jnp.sum(jnp.where(updated_or_fired, a["soma_energy_update"], zero_))
-        + jnp.sum(jnp.where(fired, a["soma_energy_spike"], zero_))
-    )
-    network_energy = jnp.sum(fired_f * a["neuron_axon_energy"])
-    total_energy = (
-        synapse_energy + dendrite_energy + soma_energy + network_energy
-    )
-
-    # --- simple timing model (src/schedule.cpp:61-102) ---
-    neuron_lat = (
-        a["soma_lat_access"]
-        + jnp.where(updated_or_fired, a["soma_lat_update"], zero_)
-        + jnp.where(fired, a["soma_lat_spike"], zero_)
-        + jnp.where(
-            a["dendrite_in_neuron_phase"], a["dendrite_lat_update"], zero_
-        )
-    )
-    n_cores = c.n_cores
-    gen_lat = neuron_lat + fired_f * a["neuron_axon_latency_out"]
-    if "core_onehot" in a:
-        neuron_lat_core = gen_lat @ a["core_onehot"]
-        msg_lat_core = fired_f @ a["neuron_proc_lat_core"]
+        opt_perf = r[opt0:] if "perf_col_fired" in a else None
     else:
-        neuron_lat_core = _segment_sum(gen_lat, a["core_id"], n_cores)
-        fired_axon_f = fired_f[a["axon_src_slot"]]
-        msg_lat_core = _segment_sum(
-            fired_axon_f * a["axon_const_processing_latency"],
-            a["axon_dest_core"],
-            n_cores,
+        # --- counters & energy roll-up from per-neuron aggregates
+        # (src/chip.cpp:1028-1051,1171-1261); axon-phase counters use
+        # per-neuron aggregates since a neuron's axons all fire together
+        # (src/chip.cpp:802-834) ---
+        packets = jnp.sum(fired * a["neuron_n_axons"], dtype=jnp.int64)
+        total_hops = jnp.sum(fired * a["neuron_axon_hops"], dtype=jnp.int64)
+        spike_ops = jnp.sum(fired * a["neuron_spike_ops"], dtype=jnp.int64)
+        neurons_updated = jnp.sum(updated_or_fired, dtype=jnp.int64)
+        neurons_fired = jnp.sum(fired, dtype=jnp.int64)
+
+        zero_ = zero
+        synapse_energy = jnp.sum(fired_f * a["neuron_synapse_energy"])
+        dendrite_energy = jnp.sum(
+            fired_f * a["neuron_msg_dendrite_energy"]
+        ) + jnp.sum(
+            jnp.where(
+                a["dendrite_in_neuron_phase"], a["dendrite_energy_update"],
+                zero_,
+            )
         )
-    sim_time = jnp.maximum(
-        jnp.max(neuron_lat_core), jnp.max(msg_lat_core)
-    ) + jnp.asarray(prog.sync_delay, dtype=dtype)
+        soma_energy = (
+            jnp.sum(a["soma_energy_access"])
+            + jnp.sum(
+                jnp.where(updated_or_fired, a["soma_energy_update"], zero_)
+            )
+            + jnp.sum(jnp.where(fired, a["soma_energy_spike"], zero_))
+        )
+        network_energy = jnp.sum(fired_f * a["neuron_axon_energy"])
+        total_energy = (
+            synapse_energy + dendrite_energy + soma_energy + network_energy
+        )
+
+        # --- simple timing model (src/schedule.cpp:61-102) ---
+        neuron_lat = (
+            a["soma_lat_access"]
+            + jnp.where(updated_or_fired, a["soma_lat_update"], zero_)
+            + jnp.where(fired, a["soma_lat_spike"], zero_)
+            + jnp.where(
+                a["dendrite_in_neuron_phase"], a["dendrite_lat_update"], zero_
+            )
+        )
+        n_cores = c.n_cores
+        gen_lat = neuron_lat + fired_f * a["neuron_axon_latency_out"]
+        if "core_onehot" in a:
+            neuron_lat_core = gen_lat @ a["core_onehot"]
+            msg_lat_core = fired_f @ a["neuron_proc_lat_core"]
+        else:
+            neuron_lat_core = _segment_sum(gen_lat, a["core_id"], n_cores)
+            fired_axon_f = fired_f[a["axon_src_slot"]]
+            msg_lat_core = _segment_sum(
+                fired_axon_f * a["axon_const_processing_latency"],
+                a["axon_dest_core"],
+                n_cores,
+            )
+        sim_time = jnp.maximum(
+            jnp.max(neuron_lat_core), jnp.max(msg_lat_core)
+        ) + jnp.asarray(prog.sync_delay, dtype=dtype)
+        stats = jnp.stack(
+            [
+                spike_ops.astype(dtype),
+                packets.astype(dtype),
+                total_hops.astype(dtype),
+                neurons_updated.astype(dtype),
+                neurons_fired.astype(dtype),
+                synapse_energy.astype(dtype),
+                dendrite_energy.astype(dtype),
+                soma_energy.astype(dtype),
+                network_energy.astype(dtype),
+                total_energy.astype(dtype),
+                sim_time.astype(dtype),
+            ]
+        )
+        if "perf_col_fired" in a:
+            # optional per-tile/core/unit perf columns
+            opt_perf = (
+                fired_f @ a["perf_col_fired"]
+                + updated_or_fired.astype(dtype) @ a["perf_col_updated"]
+                + a["perf_col_const"]
+            )
+        else:
+            opt_perf = None
 
     new_state = {
         "potential": potential,
@@ -715,30 +897,10 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     # tensors take a pathological transfer path. One stats tensor in the
     # program dtype carries everything (counters are exact: < 2^24 per step
     # in float32 programs, < 2^53 in float64).
-    outputs = {
-        "stats": jnp.stack(
-            [
-                spike_ops.astype(dtype),
-                packets.astype(dtype),
-                total_hops.astype(dtype),
-                neurons_updated.astype(dtype),
-                neurons_fired.astype(dtype),
-                synapse_energy.astype(dtype),
-                dendrite_energy.astype(dtype),
-                soma_energy.astype(dtype),
-                network_energy.astype(dtype),
-                total_energy.astype(dtype),
-                sim_time.astype(dtype),
-            ]
-        ),
-    }
-    if "perf_col_fired" in a:
+    outputs = {"stats": stats}
+    if opt_perf is not None:
         # optional per-tile/core/unit perf columns (log_energy/log_latency)
-        outputs["opt_perf"] = (
-            fired_f @ a["perf_col_fired"]
-            + updated_or_fired.astype(dtype) @ a["perf_col_updated"]
-            + a["perf_col_const"]
-        )
+        outputs["opt_perf"] = opt_perf
     if prog.record_spikes:
         outputs["spike_log_packed"] = _packbits(fired[a["spike_log_slots"]])
     if prog.record_potentials:
@@ -748,8 +910,8 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     if prog.record_fired_axons:
         # Bit-packed fired + updated masks in one tensor; the host unpacks
         # and recomputes per-neuron generation latencies in float64.
-        outputs["masks_packed"] = jnp.stack(
-            [_packbits(fired), _packbits(updated_or_fired)]
+        outputs["masks_packed"] = _packbits2(
+            jnp.stack([fired, updated_or_fired])
         )
 
     return new_state, outputs
@@ -768,6 +930,18 @@ def _packbits(bits):
     return (
         padded.reshape(-1, 8) * jnp.asarray(_BIT_WEIGHTS)
     ).sum(axis=1, dtype=jnp.uint8)
+
+
+def _packbits2(bits):
+    """Pack a [R, n] bool matrix into [R, nbytes] uint8 rows in one op."""
+    rows, n = bits.shape
+    n_pad = -(-n // 8) * 8
+    padded = jnp.zeros((rows, n_pad), dtype=jnp.uint8).at[:, :n].set(
+        bits.astype(jnp.uint8)
+    )
+    return (
+        padded.reshape(rows, -1, 8) * jnp.asarray(_BIT_WEIGHTS)
+    ).sum(axis=2, dtype=jnp.uint8)
 
 
 def _scatter_delivery(prog, a, c, state, fired, dtype, n):
