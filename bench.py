@@ -36,7 +36,7 @@ def build_chip():
     return _build_chip()
 
 
-CHUNK = 8192  # amortizes per-chunk host-link latency
+CHUNK = 16384  # amortizes per-chunk host-link latency
 
 
 def main() -> None:

@@ -188,6 +188,23 @@ def build_rollup_matrix(c: CompiledChip):
     return np.concatenate([F, U], axis=0), const
 
 
+def build_dense_delivery_columns(c: CompiledChip):
+    """Dense [N, 2N] delivery block appended to the roll-up matrix on small
+    chips: columns 0..N are the synaptic weight matrix (delivered currents),
+    columns N..2N the edge-count matrix (a destination's input count, whose
+    positivity is the reference's 'message arrived' buffer_valid condition).
+    Folding delivery into the roll-up matvec makes the entire message phase
+    + stats roll-up a single MXU op."""
+    n = c.n_neurons
+    W = np.zeros((n, 2 * n), dtype=np.float64)
+    if c.n_edges:
+        src = c.axon_src_slot[c.edge_axon]
+        dst = c.edge_dest_slot
+        np.add.at(W, (src, dst), c.edge_weight)
+        np.add.at(W, (src, n + dst), 1.0)
+    return W
+
+
 @dataclass
 class DeviceProgram:
     """Compiled device arrays + the jitted scan step for one chip."""
@@ -208,6 +225,11 @@ class DeviceProgram:
     # Fused roll-up (float32 perf path): every per-step counter/energy/
     # latency reduction collapses into one [2N] @ [2N, K] matvec.
     fused_rollup: bool = False
+    # On small chips the dense delivery columns are appended to the roll-up
+    # matrix, so message phase + roll-up is ONE matvec. n_stats_cols marks
+    # where the delivery columns start.
+    dense_delivery: bool = False
+    n_stats_cols: int = 0
 
     def init_state(self) -> dict[str, jnp.ndarray]:
         c = self.compiled
@@ -245,12 +267,20 @@ class DeviceProgram:
                     )
         return state
 
-    def make_scan(self, chunk_len: int):
+    def make_scan(self, chunk_len: int, unroll: Optional[int] = None):
         """Return a function (state, t0) -> (state', outputs) scanning
         ``chunk_len`` timesteps. Timestep indices are 1-based. The chip
         arrays are passed as jit arguments (not baked-in constants) so large
         connectivity blocks stay device-resident buffers instead of being
         inlined into the HLO."""
+        if unroll is None:
+            # Small fused-path chips are kernel-overhead bound: unrolling
+            # the scan amortizes per-iteration loop overhead (~25% win).
+            # Large chips do real per-step work; keep the HLO small.
+            unroll = 16 if self.fused_rollup else 1
+        unroll = max(1, min(unroll, chunk_len))
+        if chunk_len % unroll:
+            unroll = 1
 
         @jax.jit
         def run_chunk_inner(arrays, state, t0, feeds):
@@ -260,7 +290,7 @@ class DeviceProgram:
                 t, step_feeds = xs
                 return _timestep(self, arrays, s, t, step_feeds)
 
-            return jax.lax.scan(body, state, (ts, feeds))
+            return jax.lax.scan(body, state, (ts, feeds), unroll=unroll)
 
         def run_chunk(state, t0, feeds=None):
             return run_chunk_inner(self.arrays, state, t0, feeds or {})
@@ -417,12 +447,36 @@ def make_device_program(
         and c.neuron_proc_lat_core is not None
         and 2 * c.n_neurons * n_rollup_cols * 4 <= (16 << 20)
     )
+    dense_delivery = False
+    n_stats_cols = 0
     if fused_rollup:
         rollup, rollup_const = build_rollup_matrix(c)
+        n_stats_cols = rollup.shape[1]
+        dense_delivery = (
+            block is not None
+            and pallas_delivery is None
+            and 2 * c.n_neurons * (n_stats_cols + 2 * c.n_neurons) * 4
+            <= (8 << 20)
+        )
+        if dense_delivery:
+            delivery_cols = build_dense_delivery_columns(c)
+            rollup = np.concatenate(
+                [
+                    rollup,
+                    np.concatenate(
+                        [delivery_cols, np.zeros_like(delivery_cols)], axis=0
+                    ),
+                ],
+                axis=1,
+            )
+            rollup_const = np.concatenate(
+                [rollup_const, np.zeros(2 * c.n_neurons)]
+            )
         arrays["rollup_matrix"] = farr(rollup)
         arrays["rollup_const"] = farr(rollup_const)
         if (
-            block is not None
+            not dense_delivery
+            and block is not None
             and block.weights.shape[0] > 0
             and pallas_delivery is None
             and block.weights.size * 8 <= (16 << 20)
@@ -449,6 +503,8 @@ def make_device_program(
         pallas_delivery=pallas_delivery,
         models_present=models_present,
         fused_rollup=fused_rollup,
+        dense_delivery=dense_delivery,
+        n_stats_cols=n_stats_cols,
     )
 
 
@@ -699,7 +755,31 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     fired_f = fired.astype(dtype)
 
     # --- message phase: spike delivery ---
-    if prog.block is not None:
+    if prog.dense_delivery:
+        # Message phase + roll-up as ONE matvec: the roll-up matrix carries
+        # the dense weight/count delivery columns (build_rollup_matrix,
+        # build_dense_delivery_columns).
+        upd_f = updated_or_fired.astype(dtype)
+        lhs = jnp.concatenate([fired_f, upd_f])
+        r = lhs @ a["rollup_matrix"] + a["rollup_const"]
+        K = prog.n_stats_cols
+        n_cores = c.n_cores
+        lat0, msg0 = 9, 9 + n_cores
+        opt0 = msg0 + n_cores
+        total_energy = r[5] + r[6] + r[7] + r[8]
+        sim_time = jnp.maximum(
+            jnp.max(r[lat0:msg0]), jnp.max(r[msg0:opt0])
+        ) + jnp.asarray(prog.sync_delay, dtype=dtype)
+        stats = jnp.concatenate(
+            [r[:9], jnp.stack([total_energy, sim_time])]
+        )
+        opt_perf = r[opt0:K] if "perf_col_fired" in a else None
+        buffer_current = r[K : K + n]
+        any_input = r[K + n :] > 0
+        state_delay_ring = None
+        state_tap_voltages = None
+        state_comp_buffer = None
+    elif prog.block is not None:
         # MXU block-dense matmul path (no per-edge gathers/scatters)
         blk = prog.block
         fired_pad = jnp.zeros(blk.n_pad, dtype=dtype).at[:n].set(fired_f)
@@ -776,7 +856,9 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             state_comp_buffer,
         ) = _scatter_delivery(prog, a, c, state, fired, dtype, n)
 
-    if prog.fused_rollup:
+    if prog.dense_delivery:
+        pass  # stats/opt_perf already computed in the combined matvec
+    elif prog.fused_rollup:
         # --- fused roll-up: every counter/energy/latency reduction as one
         # matvec against the precomputed coefficient matrix (see
         # build_rollup_matrix). Column order matches the stats rows.
