@@ -589,7 +589,7 @@ int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
 
 // Cycle-accurate chunk runner: same inputs as sched_run_chunk_packed, but
 // each timestep's messages run through the flit-level cmesh NoC model
-// (native/cycle_noc.h) instead of the semi-analytical sweep. Mirrors the
+// (sanafe_tpu/native_src/cycle_noc.h) instead of the semi-analytical sweep. Mirrors the
 // reference's Booksim2 tier (src/schedule.cpp:104-167): sim_time = cycle of
 // the last processed packet * clock_period + sync_delay.
 int32_t sched_run_chunk_cycle(int64_t handle, int32_t T,
