@@ -361,6 +361,13 @@ class CompiledChip:
     plugin_params: dict = field(default_factory=dict)  # name -> {param: [N]}
     has_plugin_comp: bool = False
     max_plugin_comp: int = 0
+    # Shared-unit-state plugins (ModelSpec.shared_unit_state): rank of each
+    # neuron within its unit's update order and the unit's member count;
+    # the per-neuron emulation advances rank steps at init and stride steps
+    # per timestep (see ops/step.py)
+    plugin_shared_rank: np.ndarray = None  # [N] int32
+    plugin_shared_stride: np.ndarray = None  # [N] int32
+    plugin_shared_max_stride: int = 1
 
     max_delay: int = ACCUMULATOR_MAX_DELAY
     has_delay_dendrite: bool = False
@@ -604,6 +611,7 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     # Track neurons sharing an input unit, for the shared-iterator semantics
     # (src/models.cpp:863-903: one spike iterator per unit instance)
     input_unit_members: dict[int, list[int]] = {}
+    shared_unit_members: dict[int, list[int]] = {}
     multitap_params: dict[int, tuple[list[float], list[float]]] = {}
     max_taps = 1
 
@@ -685,6 +693,10 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
                             multitap_params, dendrite_unit.unit_id, key, attribute
                         )
 
+            if soma_unit.spec.shared_unit_state:
+                shared_unit_members.setdefault(
+                    soma_unit.unit_id, []
+                ).append(i)
             if soma_unit.spec.soma_model_id == SOMA_MODEL_INPUT:
                 compiled.input_unit_instance[i] = soma_unit.input_instance
                 input_unit_members.setdefault(soma_unit.unit_id, []).append(i)
@@ -723,6 +735,18 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
         np.concatenate(train_segments)
         if train_segments
         else np.zeros(0, dtype=bool)
+    )
+
+    # Shared-unit plugin state (e.g. Hodgkin-Huxley): members advance one
+    # shared sequence, one update per neuron per timestep in slot order
+    compiled.plugin_shared_rank = np.zeros(n, dtype=np.int32)
+    compiled.plugin_shared_stride = np.ones(n, dtype=np.int32)
+    for members in shared_unit_members.values():
+        for rank, slot in enumerate(members):
+            compiled.plugin_shared_rank[slot] = rank
+            compiled.plugin_shared_stride[slot] = len(members)
+    compiled.plugin_shared_max_stride = (
+        int(compiled.plugin_shared_stride.max()) if n else 1
     )
 
     # Multitap parameter matrices

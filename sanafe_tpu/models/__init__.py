@@ -65,6 +65,12 @@ class ModelSpec:
     # K compartments (edge attribute 'compartment'); the update function
     # then receives comp: [N, K] with last step's per-compartment sums
     dendrite_compartments: int = 0
+    # True when the reference plugin keeps ONE state for the whole hardware
+    # unit (ignores neuron_address, e.g. plugins/hodgkin_huxley.cpp:38-43):
+    # every mapped neuron's update advances the same sequence, one call per
+    # neuron per timestep. Only meaningful for models that also ignore the
+    # synaptic input. Emulated per-neuron via rank/stride (see ops/step.py).
+    shared_unit_state: bool = False
 
 
 # Framework attributes recognized by every unit (src/pipeline.hpp:182-205)
@@ -160,6 +166,7 @@ def register_soma_model(
     state: dict[str, float] | None = None,
     attributes: dict[str, str] | None = None,
     dendrite_compartments: int = 0,
+    shared_unit_state: bool = False,
 ) -> ModelSpec:
     """Register a Python soma model (the dlopen-plugin replacement).
 
@@ -187,6 +194,7 @@ def register_soma_model(
         param_defaults=dict(params or {}),
         state_init=dict(state or {}),
         dendrite_compartments=dendrite_compartments,
+        shared_unit_state=shared_unit_state,
     )
     register_model(spec)
     return spec

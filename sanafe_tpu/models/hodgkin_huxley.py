@@ -5,7 +5,8 @@ Port of the reference's example dlopen plugin behavior
 exponential-Euler integration. The stimulation current comes from the
 per-neuron ``current`` attribute (the synaptic input is ignored, as in the
 reference); a spike is an upward crossing of the +25 mV boundary, and the
-status is otherwise always "updated".
+status is otherwise always "updated". The reference plugin's state is
+per-UNIT, not per-neuron (``shared_unit_state`` below).
 """
 
 from __future__ import annotations
@@ -79,4 +80,8 @@ register_soma_model(
     params={"current": 0.0, "m": 0.0, "n": 0.0, "h": 0.0},
     state={"V": 0.0, "m": 0.0, "n": 0.0, "h": 0.0},
     attributes=HH_ATTRIBUTES,
+    # The reference plugin keeps ONE V/m/n/h for the whole unit
+    # (plugins/hodgkin_huxley.cpp:38-43 — neuron_address is ignored), so
+    # all neurons mapped to one hh unit advance a single shared sequence.
+    shared_unit_state=True,
 )

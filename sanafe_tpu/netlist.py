@@ -9,15 +9,13 @@ Line-based format kept for back-compatibility with SANA-FE v1
     & <gid>.<nid>@<tile>.<core>            # mapping to hardware core
 
 Attributes are ``key=value`` fields; values are type-sniffed
-(bool/int/float/string). Indexed keys (``time_constant[0]=0.8``) accumulate
-into list attributes. Embedded YAML-flow values (``{ bias: 0 }`` /
+(bool/int/float/string). Embedded YAML-flow values (``{ bias: 0 }`` /
 ``[0.1, 0.2]``) are also accepted, mirroring the reference's embedded
 JSON-ish parsing (src/netlist.cpp:286-414).
 """
 
 from __future__ import annotations
 
-import re
 from typing import IO
 
 from .arch import Architecture
@@ -44,16 +42,14 @@ def _sniff(value: str):
     return text
 
 
-_INDEXED = re.compile(r"^(?P<key>[A-Za-z_][\w.]*)\[(?P<idx>\d+)\]$")
 
 
 def _parse_attribute_fields(
     fields: list[str], line_number: int
 ) -> dict[str, Attribute]:
-    """Parse ``key=value`` attribute fields, including indexed keys and
-    embedded flow-style maps/lists spanning multiple fields."""
+    """Parse ``key=value`` attribute fields, including embedded flow-style
+    maps/lists spanning multiple fields."""
     attributes: dict[str, Attribute] = {}
-    indexed: dict[str, dict[int, object]] = {}
     text = " ".join(fields).strip()
     while text:
         if text[0] in "{[":
@@ -100,12 +96,11 @@ def _parse_attribute_fields(
                 )
             raw = raw + " " + text[: end + 1]
             text = text[end + 1 :].strip()
-        m = _INDEXED.match(key)
-        if m:
-            indexed.setdefault(m.group("key"), {})[int(m.group("idx"))] = (
-                _sniff(raw)
-            )
-            continue
+        # Indexed-looking keys (``time_constant[0]=0.8``) are passed through
+        # as literal attribute names: the reference netlist parser has no
+        # index syntax, so models receive (and typically warn about) the
+        # bracketed name — verified against the reference binary on
+        # snn/dendrite.net (MultiTapModel1D keeps zero constants there).
         if raw.startswith("[") and raw.endswith("]"):
             values = [
                 Attribute(_sniff(v))
@@ -125,18 +120,6 @@ def _parse_attribute_fields(
             attributes[key] = Attribute(mapping, name=key)
         else:
             attributes[key] = Attribute(_sniff(raw), name=key)
-    for key, values in indexed.items():
-        size = max(values) + 1
-        # Indexed keys collect into list attributes; legacy singular names
-        # map onto the models' plural list attributes (e.g. the multi-tap
-        # dendrite's time_constants, src/models.cpp:281).
-        canonical = {
-            "time_constant": "time_constants",
-            "space_constant": "space_constants",
-        }.get(key, key)
-        attributes[canonical] = Attribute(
-            [values.get(i, 0.0) for i in range(size)], name=canonical
-        )
     return attributes
 
 
@@ -236,6 +219,21 @@ def parse_netlist_file(
                     f"(line {line_number})"
                 )
             attributes = _parse_attribute_fields(fields[2:], line_number)
+            # The reference's per-NEURON netlist parser forwards attributes
+            # without stripping the reserved simulator keys (unlike its
+            # group parser, src/netlist.cpp:455-459), so reserved names on
+            # 'n' lines throw — verified against the reference binary on
+            # snn/hh_example.net and snn/nemo/*.net. Match that behavior.
+            for reserved in (
+                "soma_hw_name", "default_synapse_hw_name",
+                "dendrite_hw_name", "log_spikes", "log_potential", "log_v",
+            ):
+                if reserved in attributes:
+                    raise DescriptionParsingError(
+                        f"Reserved neuron attribute '{reserved}' cannot be "
+                        "used as a model attribute. Pass it as a direct "
+                        "argument instead."
+                    )
             group.neurons[neuron_id].set_attributes(
                 _to_neuron_config(attributes)
             )
@@ -349,18 +347,42 @@ def write_netlist(path, net: SpikingNetwork) -> None:
         lines.append(entry)
     for name, group in net.groups.items():
         gid = group_index[name]
+        cfg = group.default_neuron_config
         for neuron in group.neurons:
             entry = f"n {gid}.{neuron.offset}"
-            if neuron.soma_hw_name:
-                entry += f" soma_hw_name={neuron.soma_hw_name}"
-            if neuron.default_synapse_hw_name:
-                entry += f" synapse_hw_name={neuron.default_synapse_hw_name}"
-            if neuron.dendrite_hw_name:
-                entry += f" dendrite_hw_name={neuron.dendrite_hw_name}"
-            if neuron.log_spikes:
-                entry += " log_spikes=1"
-            if neuron.log_potential:
-                entry += " log_v=1"
+            # Reserved simulator fields can only be expressed on 'g' lines:
+            # the reference netlist parser rejects them on 'n' lines
+            # (src/netlist.cpp neuron path keeps them in model attributes,
+            # which network.cpp:119 refuses). Per-neuron values that differ
+            # from the group default are unrepresentable — warn and skip.
+            divergent = []
+            if neuron.soma_hw_name and neuron.soma_hw_name != (
+                cfg.soma_hw_name or ""
+            ):
+                divergent.append("soma_hw_name")
+            if neuron.default_synapse_hw_name and (
+                neuron.default_synapse_hw_name
+                != (cfg.default_synapse_hw_name or "")
+            ):
+                divergent.append("synapse_hw_name")
+            if neuron.dendrite_hw_name and neuron.dendrite_hw_name != (
+                cfg.dendrite_hw_name or ""
+            ):
+                divergent.append("dendrite_hw_name")
+            if bool(neuron.log_spikes) != bool(cfg.log_spikes):
+                divergent.append("log_spikes")
+            if bool(neuron.log_potential) != bool(cfg.log_potential):
+                divergent.append("log_v")
+            if divergent:
+                import warnings
+
+                warnings.warn(
+                    f"Neuron {name}.{neuron.offset}: per-neuron "
+                    f"{divergent} cannot be expressed in netlist format "
+                    "(reserved on 'n' lines); values fall back to the "
+                    "group defaults on reload",
+                    stacklevel=2,
+                )
             for key, attribute in neuron.model_attributes.items():
                 entry += f" {key}={_format_value(attribute.value)}"
             lines.append(entry)

@@ -265,6 +265,37 @@ class DeviceProgram:
                     state[f"plugin_{spec.name}_{var}"] = jnp.full(
                         n, init, dtype=dtype
                     )
+        # Shared-unit plugins: member k's stored state must be the shared
+        # sequence at offset k (the states of members 0..k-1 have already
+        # advanced it when k first updates; plugins/hodgkin_huxley.cpp
+        # keeps one state per unit), so pre-advance each member rank times.
+        for spec in c.plugin_specs:
+            if not spec.shared_unit_state:
+                continue
+            max_rank = c.plugin_shared_max_stride - 1
+            if max_rank <= 0:
+                continue
+            rank = jnp.asarray(c.plugin_shared_rank)
+            params = {
+                p: jnp.asarray(v, dtype=dtype)
+                for p, v in c.plugin_params[spec.name].items()
+            }
+            st = {
+                var: state[f"plugin_{spec.name}_{var}"]
+                for var in spec.state_init
+            }
+            no_input = jnp.zeros(n, dtype=bool)
+            zero_cur = jnp.zeros(n, dtype=dtype)
+            for j in range(max_rank):
+                advanced, _, _, _ = spec.soma_update(
+                    params, st, no_input, zero_cur, 1
+                )
+                st = {
+                    var: jnp.where(rank > j, advanced[var], value)
+                    for var, value in st.items()
+                }
+            for var, value in st.items():
+                state[f"plugin_{spec.name}_{var}"] = value
         return state
 
     def make_scan(self, chunk_len: int, unroll: Optional[int] = None):
@@ -416,6 +447,8 @@ def make_device_program(
     for spec in c.plugin_specs:
         for param, values in c.plugin_params[spec.name].items():
             arrays[f"plugin_{spec.name}_{param}"] = farr(values)
+    if any(spec.shared_unit_state for spec in c.plugin_specs):
+        arrays["plugin_shared_stride"] = jnp.asarray(c.plugin_shared_stride)
     if c.perf_col_names:
         arrays["perf_col_fired"] = farr(c.perf_col_fired)
         arrays["perf_col_updated"] = farr(c.perf_col_updated)
@@ -741,6 +774,22 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
             new_plugin_state, p_fired, p_updated, p_potential = (
                 spec.soma_update(params, plugin_state, valid, current, t)
             )
+        if spec.shared_unit_state and c.plugin_shared_max_stride > 1:
+            # Shared-unit plugins: the unit is updated once per member per
+            # timestep, so each member's stored state advances stride
+            # applications total; fired/updated come from its own (first)
+            # application. Members with smaller units freeze early.
+            stride = a["plugin_shared_stride"]
+            st = new_plugin_state
+            for j in range(c.plugin_shared_max_stride - 1):
+                advanced, _, _, _ = spec.soma_update(
+                    params, st, valid, current, t
+                )
+                st = {
+                    var: jnp.where(stride - 1 > j, advanced[var], value)
+                    for var, value in st.items()
+                }
+            new_plugin_state = st
         for var, value in new_plugin_state.items():
             key = f"plugin_{spec.name}_{var}"
             plugin_state_updates[key] = jnp.where(

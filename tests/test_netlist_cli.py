@@ -73,14 +73,19 @@ def test_netlist_roundtrip(example_arch):
 
 
 def test_netlist_indexed_attributes():
+    """Bracketed keys are literal attribute names, NOT list syntax — the
+    reference netlist parser has no index notation, so the multitap model
+    never recognizes time_constant[0] and keeps zero constants (verified
+    against the reference binary; tests/test_reference_parity.py)."""
     arch = sf.load_arch(REF / "arch" / "demo_with_dendrites.yaml")
     net = sf.load_net(
         REF / "snn" / "dendrite.net", arch, use_netlist_format=True
     )
     attrs = net.groups["0"].neurons[0].model_attributes
     assert attrs["taps"].value == 3
-    assert attrs["time_constants"].value == [0.8, 0.8, 0.7]
-    assert attrs["space_constants"].value == [0.1, 0.2]
+    assert "time_constants" not in attrs
+    assert attrs["time_constant[0]"].value == 0.8
+    assert attrs["space_constant[1]"].value == 0.2
     # per-edge tap routing
     taps = [
         e.dendrite_attributes["tap"].value
