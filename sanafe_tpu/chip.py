@@ -744,8 +744,23 @@ class SpikingChip:
             for i in range(length):
                 msgs = messages_by_step[i]
                 flat = [m for q in msgs for m in q]
-                # sort by mid, placeholders last (src/message.cpp:61-90)
-                flat.sort(key=lambda m: (m.placeholder, m.mid))
+                # sort by mid, placeholders last (src/message.cpp:70-91);
+                # the reference's std::sort permutes the all-equivalent
+                # placeholders unstably, so use the native libstdc++ sort
+                # when available for a byte-identical trace
+                try:
+                    from .native import (
+                        NativeUnavailable,
+                        sort_message_trace_order,
+                    )
+
+                    perm = sort_message_trace_order(
+                        [m.mid for m in flat],
+                        [m.placeholder for m in flat],
+                    )
+                    flat = [flat[j] for j in perm]
+                except (ImportError, NativeUnavailable):
+                    flat.sort(key=lambda m: (m.placeholder, m.mid))
                 if message_state.sink.stream:
                     for m in flat:
                         write_message_row(message_state.sink, m)
@@ -796,13 +811,11 @@ class SpikingChip:
             rand = getattr(self, "_tn_rand", None)
             if rand is None:
                 rand = self._tn_rand = GlibcRand(1)
-            masks = c.tn_noise_masks
+            masks = np.asarray(c.tn_noise_masks, dtype=np.uint32)
             k = len(masks)
-            values = np.empty((length, k), dtype=np.float64)
-            for t in range(length):
-                for j in range(k):
-                    values[t, j] = float(rand.next() & int(masks[j]))
-            feeds["tn_noise"] = values
+            # draw order matches the scalar loop: per step, per slot
+            draws = rand.next_batch(length * k).reshape(length, k)
+            feeds["tn_noise"] = (draws & masks[None, :]).astype(np.float64)
         if c.has_poisson:
             from .utils.rng import MT19937
 
@@ -817,12 +830,10 @@ class SpikingChip:
             for seed, members in c.input_units:
                 rng = rngs[seed]
                 probs = c.input_poisson[members]
-                for t in range(length):
-                    for j in range(len(members)):
-                        draw = rng.uniform_real()
-                        if probs[j] > draw:
-                            spikes[t, col + j] = True
-                col += len(members)
+                k = len(members)
+                draws = rng.uniform_real_batch(length * k).reshape(length, k)
+                spikes[:, col : col + k] = probs[None, :] > draws
+                col += k
             feeds["poisson"] = spikes
         return feeds
 

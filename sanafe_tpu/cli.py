@@ -14,9 +14,12 @@ Flags::
     -N <n>     processing threads (accepted for parity; kernel is parallel)
     -S <n>     scheduler threads (accepted for parity)
 
-Note: the reference binary has a known quirk where -s also enables the
-potential/perf/message traces (src/main.cpp:63-67); this CLI implements the
-documented per-flag behavior instead.
+Trace wiring matches the reference binary exactly (src/main.cpp:63-67):
+``-s`` enables the spike, potential, perf AND message traces together, and
+``-v``/``-p``/``-m`` have no effect on their own (they are parsed, like in
+the reference, but main.cpp never consults them). Set
+``SANAFE_TPU_SANE_TRACES=1`` to opt into the documented per-flag behavior
+instead (-s spikes only, -v potentials, -p perf, -m messages).
 """
 
 from __future__ import annotations
@@ -109,6 +112,16 @@ def main(argv: list[str] | None = None) -> int:
     if timesteps <= 0:
         print(f"Error: Time-steps must be > 0 ({timesteps})", file=sys.stderr)
         return 1
+
+    # Reference trace-flag wiring (src/main.cpp:63-67): -s drives the
+    # spike/potential/perf/message traces together; only -x acts alone.
+    import os
+
+    if os.environ.get("SANAFE_TPU_SANE_TRACES", "0") != "1":
+        record_spikes = flags["record_spikes"]
+        flags["record_potentials"] = record_spikes
+        flags["record_perf"] = record_spikes
+        flags["record_messages"] = record_spikes
 
     out = Path(flags["output_dir"])
     try:

@@ -1068,14 +1068,22 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     compiled.axon_latency_out = core_latency_out[src_core] if a else np.zeros(0)
 
     # Constant part of per-message processing latency: axon_in +
-    # per-edge synapse (+ message-phase dendrite) latencies
+    # per-edge synapse (+ message-phase dendrite) latencies. Accumulation
+    # starts FROM the axon-in latency and adds each edge's (synapse +
+    # dendrite) latency in edge order — the reference's exact float64
+    # association (process_message, src/chip.cpp:738-764: latency =
+    # axon_in, then += per-edge pipeline latency), which differs in the
+    # last ulp from summing the edges separately and adding axon_in after.
     per_edge_lat = compiled.edge_synapse_latency + compiled.edge_dendrite_latency
-    edge_lat_per_axon = np.zeros(a, dtype=f64)
-    if e:
-        np.add.at(edge_lat_per_axon, compiled.edge_axon, per_edge_lat)
     compiled.axon_const_processing_latency = (
-        compiled.axon_latency_in + edge_lat_per_axon
+        compiled.axon_latency_in.astype(f64).copy()
     )
+    if e:
+        np.add.at(
+            compiled.axon_const_processing_latency,
+            compiled.edge_axon,
+            per_edge_lat,
+        )
 
     # ---- 6. trace slot orderings (groups sorted by name, offsets ascending;
     # mirrors std::map iteration in sim_trace_* writers) ----
@@ -1310,9 +1318,40 @@ def _build_perf_columns(compiled: CompiledChip, arch: Architecture) -> None:
         return fired, updated, const
 
     a = compiled.n_axons
+
+    def core_energy(core):
+        """core.energy = axon-in + pipeline units + axon-out
+        (sim_calculate_core_energy, src/chip.cpp:1211-1259)."""
+        fired = np.zeros(n, dtype=np.float64)
+        updated = np.zeros(n, dtype=np.float64)
+        const = 0.0
+        for unit in core.units:
+            f, u, k = unit_energy(unit)
+            fired += f
+            updated += u
+            const += k
+        if a:
+            dest_mask = compiled.axon_dest_core == core.core_id
+            np.add.at(
+                fired,
+                compiled.axon_src_slot[dest_mask],
+                compiled.axon_energy_in[dest_mask],
+            )
+            src_mask = compiled.axon_src_core == core.core_id
+            np.add.at(
+                fired,
+                compiled.axon_src_slot[src_mask],
+                compiled.axon_energy_out[src_mask],
+            )
+        return fired, updated, const
+
     for tile in arch.tiles:
         if tile.power_metrics.log_energy:
+            # tile.energy = hop energy + every core's energy
+            # (sim_calculate_tile_energy, src/chip.cpp:1189-1209)
             fired = np.zeros(n, dtype=np.float64)
+            updated = np.zeros(n, dtype=np.float64)
+            const = 0.0
             if a:
                 mask = compiled.axon_dest_tile == tile.id
                 np.add.at(
@@ -1320,32 +1359,22 @@ def _build_perf_columns(compiled: CompiledChip, arch: Architecture) -> None:
                     compiled.axon_src_slot[mask],
                     compiled.axon_hop_energy[mask],
                 )
-            add_column(f"{tile.name}.energy", fired=fired)
+            for core in compiled.cores:
+                if core.tile_id != tile.id:
+                    continue
+                f, u, k = core_energy(core)
+                fired += f
+                updated += u
+                const += k
+            add_column(
+                f"{tile.name}.energy", fired=fired, updated=updated,
+                const=const,
+            )
 
     for core in compiled.cores:
         tile_name = tile_names[core.tile_id]
         if core.log_energy:
-            fired = np.zeros(n, dtype=np.float64)
-            updated = np.zeros(n, dtype=np.float64)
-            const = 0.0
-            for unit in core.units:
-                f, u, k = unit_energy(unit)
-                fired += f
-                updated += u
-                const += k
-            if a:
-                dest_mask = compiled.axon_dest_core == core.core_id
-                np.add.at(
-                    fired,
-                    compiled.axon_src_slot[dest_mask],
-                    compiled.axon_energy_in[dest_mask],
-                )
-                src_mask = compiled.axon_src_core == core.core_id
-                np.add.at(
-                    fired,
-                    compiled.axon_src_slot[src_mask],
-                    compiled.axon_energy_out[src_mask],
-                )
+            fired, updated, const = core_energy(core)
             add_column(
                 f"{tile_name}.{core.name}.energy",
                 fired=fired, updated=updated, const=const,
@@ -1358,7 +1387,19 @@ def _build_perf_columns(compiled: CompiledChip, arch: Architecture) -> None:
                     fired=f, updated=u, const=k,
                 )
             if unit.log_latency:
-                f, u, k = unit_latency(unit)
+                # The reference accumulates each unit's ENERGY into its
+                # latency counter (latency += output.energy,
+                # src/pipeline.cpp:102), so the per-unit .latency perf
+                # column equals the .energy column — verified empirically
+                # against the reference binary (tests/golden_ref/
+                # cfg_perf_logging*). SANAFE_TPU_FIX_QUIRKS=1 reports the
+                # actual unit latencies instead.
+                import os
+
+                if os.environ.get("SANAFE_TPU_FIX_QUIRKS", "0") == "1":
+                    f, u, k = unit_latency(unit)
+                else:
+                    f, u, k = unit_energy(unit)
                 add_column(
                     f"{tile_name}.{core.name}.{unit.name}.latency",
                     fired=f, updated=u, const=k,

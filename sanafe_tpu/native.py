@@ -49,8 +49,12 @@ class NativeUnavailable(RuntimeError):
 
 def _compile_library() -> None:
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-fopenmp", str(_SRC), "-o", str(_LIB),
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+        # -ffp-contract=off: -march=native would otherwise contract the
+        # scheduler's a*b+c sequences into FMAs, changing float64 rounding
+        # vs the reference binary (built without FMA) — the detailed
+        # sim_time must match it bit-for-bit.
+        "-shared", "-fPIC", "-fopenmp", str(_SRC), "-o", str(_LIB),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -106,8 +110,30 @@ def get_library() -> ctypes.CDLL:
         ctypes.c_int64, u8p, f64p, ctypes.c_double, f64p,
         i32p, i32p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p,
     ]
+    lib.sort_message_trace_order.restype = ctypes.c_int32
+    lib.sort_message_trace_order.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), u8p, ctypes.c_int32, i32p,
+    ]
     _lib = lib
     return lib
+
+
+def sort_message_trace_order(mids, placeholders) -> "np.ndarray":
+    """Permutation sorting a timestep's messages for the trace, replicating
+    the reference's std::sort + CompareMessagesByID exactly (including the
+    unstable ordering of equivalent placeholder entries). Raises
+    NativeUnavailable when the library cannot be built."""
+    lib = get_library()
+    mids = np.ascontiguousarray(mids, dtype=np.int64)
+    placeholders = np.ascontiguousarray(placeholders, dtype=np.uint8)
+    perm = np.empty(len(mids), dtype=np.int32)
+    lib.sort_message_trace_order(
+        mids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _ptr(placeholders, ctypes.c_uint8),
+        np.int32(len(mids)),
+        _ptr(perm, ctypes.c_int32),
+    )
+    return perm
 
 
 def _i32(arr) -> np.ndarray:

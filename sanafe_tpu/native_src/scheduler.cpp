@@ -103,6 +103,19 @@ struct HeapEntry {
 using MinHeap =
     std::priority_queue<HeapEntry, std::vector<HeapEntry>, std::greater<>>;
 
+// Event heap for the detailed sweep: compares ONLY the sent timestamp,
+// byte-matching the reference's CompareMessagesBySentTime
+// (src/message.cpp:61-65). Tie ordering is whatever libstdc++'s heap sift
+// produces — intentionally NOT stabilized with a sequence number, because
+// the reference's results (and its message trace) depend on that order.
+struct CmpSentOnly {
+    bool operator()(const HeapEntry &a, const HeapEntry &b) const {
+        return a.key > b.key;
+    }
+};
+using EventHeap =
+    std::priority_queue<HeapEntry, std::vector<HeapEntry>, CmpSentOnly>;
+
 std::vector<ChipLayout *> g_chips;
 std::mutex g_chips_mutex;
 
@@ -151,13 +164,17 @@ struct NocState {
     std::vector<double> core_finished_receiving;
     double mean_in_flight_recv_delay = 0.0;
     int messages_in_noc = 0;
-    // retirement heap of in-flight messages keyed by received timestamp
-    MinHeap retire;
+    // In-flight messages per DESTINATION core in arrival (insertion) order:
+    // retirement must scan dest cores 0..C-1 and each list front-to-back
+    // (noc_update_all_tracked_messages, src/schedule.cpp:380-400) because
+    // the rolling-mean updates are order-sensitive in float64.
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> in_flight;
 
     explicit NocState(const ChipLayout &L)
         : density(static_cast<size_t>(L.noc_w) * L.noc_h * L.links_per_tile,
                   0.0),
-          core_finished_receiving(L.n_cores, 0.0) {}
+          core_finished_receiving(L.n_cores, 0.0),
+          in_flight(L.n_cores) {}
 };
 
 inline void update_density(const ChipLayout &L, NocState &noc, const Msg &m,
@@ -292,7 +309,7 @@ double sweep_timestep(const ChipLayout &L,
                       std::vector<std::vector<Msg>> &queues) {
     NocState noc(L);
     std::vector<int32_t> heads(L.n_cores, 0);
-    MinHeap heap;
+    EventHeap heap;
     int64_t seq = 0;
     double last_ts = 0.0;
 
@@ -309,20 +326,36 @@ double sweep_timestep(const ChipLayout &L,
         if (!queues[core].empty()) push_next(core, nullptr);
     }
 
+    static const bool dbg = getenv("SANAFE_DBG_SWEEP") != nullptr;
+    if (dbg) fprintf(stderr, "SWEEP\n");
     while (!heap.empty()) {
         HeapEntry e = heap.top();
         heap.pop();
         Msg &m = queues[e.core][e.idx];
         if (m.sent_ts > last_ts) last_ts = m.sent_ts;
+        if (dbg) {
+            fprintf(stderr, "EVT %d %d %.17g %.17g %d %.17g\n", e.core,
+                    m.axon < 0 ? -1 : m.dest_core, m.sent_ts,
+                    noc.mean_in_flight_recv_delay, noc.messages_in_noc,
+                    m.proc_delay);
+        }
 
-        // Retire every in-flight message received by now
-        // (src/schedule.cpp:380-400).
-        while (!noc.retire.empty() && noc.retire.top().key <= m.sent_ts) {
-            HeapEntry r = noc.retire.top();
-            noc.retire.pop();
-            Msg &rm = queues[r.core][r.idx];
-            update_density(L, noc, rm, false);
-            update_rolling_mean(noc, rm, false);
+        // Retire every in-flight message received by now, scanning dest
+        // cores in id order and each list in arrival order — the exact
+        // update sequence of noc_update_all_tracked_messages
+        // (src/schedule.cpp:380-400); the rolling mean is order-sensitive.
+        for (auto &fleet : noc.in_flight) {
+            size_t kept = 0;
+            for (size_t k = 0; k < fleet.size(); ++k) {
+                Msg &rm = queues[fleet[k].first][fleet[k].second];
+                if (m.sent_ts >= rm.recv_ts) {
+                    update_density(L, noc, rm, false);
+                    update_rolling_mean(noc, rm, false);
+                } else {
+                    fleet[kept++] = fleet[k];
+                }
+            }
+            fleet.resize(kept);
         }
 
         if (m.axon >= 0) {
@@ -355,7 +388,7 @@ double sweep_timestep(const ChipLayout &L,
             if (m.proc_ts > last_ts) last_ts = m.proc_ts;
             update_density(L, noc, m, true);
             update_rolling_mean(noc, m, true);
-            noc.retire.push({m.recv_ts, seq++, e.core, e.idx});
+            noc.in_flight[m.dest_core].emplace_back(e.core, e.idx);
         }
 
         if (heads[e.core] < static_cast<int32_t>(queues[e.core].size())) {
@@ -677,6 +710,30 @@ int32_t sched_run_timestep_trace(
         }
     }
     return k;
+}
+
+// Sort permutation for the message trace, replicating the reference's
+// std::sort over CompareMessagesByID (src/chip.cpp:440-459,
+// src/message.cpp:70-91). std::sort is comparison-based, so sorting an
+// index array with the same comparator and the same input order yields the
+// reference's exact permutation — including the unstable ordering of the
+// all-equivalent placeholder entries (mid = -1), which a stable sort would
+// order differently.
+int32_t sort_message_trace_order(const int64_t *mids,
+                                 const uint8_t *placeholder, int32_t n,
+                                 int32_t *perm) {
+    std::vector<int32_t> idx(n);
+    for (int32_t i = 0; i < n; ++i) idx[i] = i;
+    std::sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
+        const bool pa = placeholder[a] != 0;
+        const bool pb = placeholder[b] != 0;
+        if (pa && pb) return mids[a] < mids[b];
+        if (pa) return false;
+        if (pb) return true;
+        return mids[a] < mids[b];
+    });
+    std::memcpy(perm, idx.data(), static_cast<size_t>(n) * sizeof(int32_t));
+    return 0;
 }
 
 }  // extern "C"

@@ -18,7 +18,6 @@ Message records produced here feed messages.csv / the in-memory message trace.
 
 from __future__ import annotations
 
-import heapq
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -340,6 +339,67 @@ class NocModel:
             queue[:] = kept
 
 
+class LibstdcxxMinHeap:
+    """Replica of libstdc++'s std::priority_queue heap algorithms
+    (bits/stl_heap.h ``__push_heap`` / ``__pop_heap`` / ``__adjust_heap``)
+    with the reference's comparator, which orders ONLY by sent timestamp
+    (CompareMessagesBySentTime, src/message.cpp:61-65). Python's ``heapq``
+    sifts differently, and the reference's results depend on how EQUAL
+    timestamps happen to be ordered by the sift — so the exact algorithm is
+    reproduced here. Entries are (key, payload); comparisons never look at
+    the payload."""
+
+    __slots__ = ("_v",)
+
+    def __init__(self):
+        self._v: list = []
+
+    def __bool__(self):
+        return bool(self._v)
+
+    def push(self, key: float, payload) -> None:
+        v = self._v
+        v.append((key, payload))
+        # __push_heap(first, hole=len-1, top=0, value)
+        hole = len(v) - 1
+        value = v[hole]
+        parent = (hole - 1) // 2
+        while hole > 0 and v[parent][0] > value[0]:
+            v[hole] = v[parent]
+            hole = parent
+            parent = (hole - 1) // 2
+        v[hole] = value
+
+    def pop(self):
+        v = self._v
+        top = v[0]
+        value = v.pop()
+        length = len(v)
+        if length == 0:
+            return top
+        # __adjust_heap(first, hole=0, len, value)
+        hole = 0
+        second = hole
+        while second < (length - 1) // 2:
+            second = 2 * (second + 1)
+            if v[second][0] > v[second - 1][0]:
+                second -= 1
+            v[hole] = v[second]
+            hole = second
+        if (length & 1) == 0 and second == (length - 2) // 2:
+            second = 2 * (second + 1)
+            v[hole] = v[second - 1]
+            hole = second - 1
+        # trailing __push_heap with the displaced value
+        parent = (hole - 1) // 2
+        while hole > 0 and v[parent][0] > value[0]:
+            v[hole] = v[parent]
+            hole = parent
+            parent = (hole - 1) // 2
+        v[hole] = value
+        return top
+
+
 def schedule_timestep_detailed(
     compiled: CompiledChip,
     messages_per_core: list[list[MessageRecord]],
@@ -353,13 +413,10 @@ def schedule_timestep_detailed(
     queues = [list(core_msgs) for core_msgs in messages_per_core]
     heads = [0] * len(queues)
 
-    heap: list[tuple[float, int, int]] = []  # (sent_ts, seq, core)
-    seq = 0
-    pending_sent: dict[int, float] = {}
+    heap = LibstdcxxMinHeap()
     last_timestamp = 0.0
 
     def push_next(core_id: int, base_ts: Optional[float]) -> float:
-        nonlocal seq
         i = heads[core_id]
         heads[core_id] += 1
         m = queues[core_id][i]
@@ -368,8 +425,7 @@ def schedule_timestep_detailed(
         else:
             sent = base_ts + m.generation_delay
         m.sent_timestamp = sent
-        heapq.heappush(heap, (sent, seq, core_id, i))
-        seq += 1
+        heap.push(sent, (core_id, i))
         return sent
 
     for core_id, queue in enumerate(queues):
@@ -378,7 +434,7 @@ def schedule_timestep_detailed(
             last_timestamp = max(last_timestamp, last)
 
     while heap:
-        sent_ts, _, core_id, msg_idx = heapq.heappop(heap)
+        sent_ts, (core_id, msg_idx) = heap.pop()
         m = queues[core_id][msg_idx]
         last_timestamp = max(last_timestamp, m.sent_timestamp)
         noc.retire_messages_before(m.sent_timestamp)

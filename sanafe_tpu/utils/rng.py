@@ -61,6 +61,29 @@ class GlibcRand:
     def next_n(self, n: int) -> list[int]:
         return [self.next() for _ in range(n)]
 
+    def next_batch(self, n: int):
+        """n outputs as a uint32 numpy array (vectorized; the additive
+        feedback r[i] = r[i-31] + r[i-3] advances in blocks of 3, whose
+        in-block values depend only on already-computed entries)."""
+        import numpy as np
+
+        if n <= 0:
+            return np.zeros(0, dtype=np.uint32)
+        buf = np.empty(31 + n, dtype=np.uint64)
+        buf[:31] = np.asarray(self._r[self._i - 31 : self._i], dtype=np.uint64)
+        filled = 31
+        total = 31 + n
+        while filled < total:
+            end = min(filled + 3, total)
+            buf[filled:end] = (
+                buf[filled - 31 : end - 31] + buf[filled - 3 : end - 3]
+            ) & np.uint64(0xFFFFFFFF)
+            filled = end
+        # retain the trailing window as the live state
+        self._r = [int(v) for v in buf[-34:]]
+        self._i = 34
+        return (buf[31:] >> np.uint64(1)).astype(np.uint32)
+
 
 class MT19937:
     """std::mt19937 (init_genrand integer seeding), 32-bit outputs."""
@@ -110,6 +133,76 @@ class MT19937:
         if value >= 1.0:
             value = 0.9999999999999999
         return value
+
+    def _next_u32_batch(self, n: int):
+        """n tempered 32-bit outputs as a numpy array (vectorized twist)."""
+        import numpy as np
+
+        out = np.empty(n, dtype=np.uint32)
+        pos = 0
+        while pos < n:
+            if self._index >= self.N:
+                self._generate_np()
+            take = min(n - pos, self.N - self._index)
+            block = np.asarray(
+                self._mt[self._index : self._index + take], dtype=np.uint32
+            )
+            self._index += take
+            y = block.copy()
+            y ^= y >> np.uint32(11)
+            y ^= (y << np.uint32(7)) & np.uint32(0x9D2C5680)
+            y ^= (y << np.uint32(15)) & np.uint32(0xEFC60000)
+            y ^= y >> np.uint32(18)
+            out[pos : pos + take] = y
+            pos += take
+        return out
+
+    def _generate_np(self) -> None:
+        """Vectorized twist, identical to _generate: phase 1 reads only
+        pre-twist state; phase 2 reads phase-1 results at i+M-N; the final
+        element reads the new mt[0]."""
+        import numpy as np
+
+        mt = np.asarray(self._mt, dtype=np.uint32)
+        N, M = self.N, self.M
+        upper = np.uint32(self.UPPER)
+        lower = np.uint32(self.LOWER)
+        matrix = np.uint32(self.MATRIX_A)
+        new = mt.copy()
+        # phase 1: i in [0, N-M)
+        y = (mt[: N - M] & upper) | (mt[1 : N - M + 1] & lower)
+        new[: N - M] = mt[M:N] ^ (y >> np.uint32(1)) ^ (
+            np.where(y & np.uint32(1), matrix, np.uint32(0))
+        )
+        # phase 2: i in [N-M, N-1), reading new[i+M-N] — advance in
+        # (N-M)-wide sub-blocks so each block's dependencies are already
+        # written (i - (N-M) chains through this phase's own outputs)
+        start = N - M
+        while start < N - 1:
+            end = min(start + (N - M), N - 1)
+            y = (mt[start:end] & upper) | (mt[start + 1 : end + 1] & lower)
+            new[start:end] = new[start - (N - M) : end - (N - M)] ^ (
+                y >> np.uint32(1)
+            ) ^ np.where(y & np.uint32(1), matrix, np.uint32(0))
+            start = end
+        # final element: i = N-1, reading new[0]
+        y_last = (mt[N - 1] & upper) | (new[0] & lower)
+        last = new[M - 1] ^ (y_last >> np.uint32(1))
+        if y_last & np.uint32(1):
+            last ^= matrix
+        new[N - 1] = last
+        self._mt = [int(v) for v in new]
+        self._index = 0
+
+    def uniform_real_batch(self, n: int):
+        """n uniform doubles, identical stream to uniform_real()."""
+        import numpy as np
+
+        draws = self._next_u32_batch(2 * n).astype(np.float64)
+        value = (draws[0::2] + draws[1::2] * 4294967296.0) / (
+            18446744073709551616.0
+        )
+        return np.minimum(value, 0.9999999999999999)
 
 
 def mask_loihi_noise(raw: int, noise_bits: int = 7) -> int:

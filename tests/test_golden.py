@@ -86,8 +86,12 @@ def test_dvs_gesture_smoke():
     assert result["energy"]["total"] == pytest.approx(
         3.62739205e-05, rel=1e-12
     )
+    # sim_time regenerated 2026-08-16 after the detailed sweep matched the
+    # reference binary's heap tie ordering and float association exactly
+    # (summing the reference's per-step DVS sim_times gives this value;
+    # tests/test_reference_parity.py::test_reference_parity_dvs)
     assert result["sim_time"] == pytest.approx(
-        0.00023873386103472448, rel=1e-12
+        0.00023876441746214602, rel=1e-12
     )
     assert [len(x) for x in result["spike_trace"].data[:5]] == [
         0, 21, 7, 28, 24,
