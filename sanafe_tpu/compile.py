@@ -379,11 +379,22 @@ class CompiledChip:
     n_taps: np.ndarray = None
 
 
-def build_hardware(arch: Architecture) -> list[CoreInfo]:
-    """Instantiate per-core hardware units (src/chip.cpp:61-104)."""
+def build_hardware(
+    arch: Architecture, used_core_ids: Optional[set] = None
+) -> list[CoreInfo]:
+    """Instantiate per-core hardware units (src/chip.cpp:61-104).
+
+    With ``used_core_ids`` given, unit OBJECTS are only built for cores that
+    map neurons or carry perf-logging flags; other cores advance the global
+    unit/input-instance counters without materializing units (loihi_large
+    describes 4.2M units across 4096 cores, of which a mapped net typically
+    touches a handful). Counter advancement keeps unit ids and input-model
+    RNG instance numbers identical to the full build."""
     cores: list[CoreInfo] = []
     unit_counter = 0
     input_instance_counter = 0
+    # (units, input units, any log flags) per shared pipeline_hw list
+    template_counts: dict[int, tuple[int, int, bool]] = {}
     for tile in arch.tiles:
         for core_cfg in tile.cores:
             core = CoreInfo(
@@ -411,6 +422,34 @@ def build_hardware(arch: Architecture) -> list[CoreInfo]:
                 core.latency_message_out = core_cfg.axon_out[
                     0
                 ].metrics.latency_message_out
+            if used_core_ids is not None and (
+                core_cfg.address.id not in used_core_ids
+            ):
+                key = id(core_cfg.pipeline_hw)
+                counts = template_counts.get(key)
+                if counts is None:
+                    n_units = len(core_cfg.pipeline_hw)
+                    n_inputs = sum(
+                        1
+                        for u in core_cfg.pipeline_hw
+                        if u.model_info.name == "input"
+                    )
+                    any_log = core_cfg.pipeline.log_energy or any(
+                        u.model_info.log_energy or u.model_info.log_latency
+                        for u in core_cfg.pipeline_hw
+                    )
+                    counts = (n_units, n_inputs, any_log)
+                    template_counts[key] = counts
+                n_units, n_inputs, any_log = counts
+                if not any_log:
+                    # unit ids stay dense over materialized units (they are
+                    # only dict keys / array indices); input-model instance
+                    # numbers count EVERY input unit on the chip because
+                    # they seed the reference's per-instance RNGs
+                    # (src/models.hpp:347)
+                    input_instance_counter += n_inputs
+                    cores.append(core)
+                    continue
             for unit_cfg in core_cfg.pipeline_hw:
                 try:
                     spec = get_model(unit_cfg.model_info.name)
@@ -474,7 +513,13 @@ def build_hardware(arch: Architecture) -> list[CoreInfo]:
 
 def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     compiled = CompiledChip(arch)
-    cores = build_hardware(arch)
+    used_core_ids = {
+        neuron.core_address.id
+        for group in net.groups.values()
+        for neuron in group.neurons
+        if neuron.core_address is not None
+    }
+    cores = build_hardware(arch, used_core_ids)
     compiled.cores = cores
     compiled.n_cores = len(cores)
     compiled.units = [unit for core in cores for unit in core.units]

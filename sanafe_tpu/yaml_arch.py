@@ -254,8 +254,28 @@ def _set_implements_flag(unit: PipelineUnitConfiguration, section: str) -> None:
 
 
 def _parse_core(
-    core_node: dict, parent_tile_id: int, arch: Architecture, core_name: str
+    core_node: dict,
+    parent_tile_id: int,
+    arch: Architecture,
+    core_name: str,
+    template_cache: dict | None = None,
 ) -> None:
+    # A range-expanded core section (name: core[0..N]) describes THOUSANDS
+    # of identical cores on large chips (loihi_large: 4096 cores x 1030
+    # units each). Parse the section once and share the resulting
+    # unit-configuration objects across all its cores — they are read-only
+    # after parsing (the compiler builds its own per-core HardwareUnit
+    # objects from them).
+    if template_cache is not None:
+        template = template_cache.get(id(core_node))
+        if template is not None:
+            core = arch.create_core(
+                core_name, parent_tile_id, template.pipeline
+            )
+            core.axon_in = template.axon_in
+            core.pipeline_hw = template.pipeline_hw
+            core.axon_out = template.axon_out
+            return
     pipeline_config = parse_core_pipeline(
         _required(core_node, "attributes", f"core {core_name}")
     )
@@ -320,8 +340,13 @@ def _parse_core(
                     )
                     _merge_or_create_unit(core, unit_index, unit_name, info, section)
 
+    if template_cache is not None:
+        template_cache[id(core_node)] = core
 
-def _parse_tile(tile_node: dict, arch: Architecture) -> None:
+
+def _parse_tile(
+    tile_node: dict, arch: Architecture, template_cache: dict | None = None
+) -> None:
     tile_name_spec = str(_required(tile_node, "name", "tile"))
     base = tile_name_spec.split("[")[0]
     if has_range(tile_name_spec):
@@ -345,7 +370,10 @@ def _parse_tile(tile_node: dict, arch: Architecture) -> None:
             else:
                 c_first, c_last = 0, 0
             for c in range(c_first, c_last + 1):
-                _parse_core(core_node, tile.id, arch, f"{core_base}[{c}]")
+                _parse_core(
+                    core_node, tile.id, arch, f"{core_base}[{c}]",
+                    template_cache,
+                )
 
 
 def parse_arch_section(arch_node: dict) -> Architecture:
@@ -358,8 +386,9 @@ def parse_arch_section(arch_node: dict) -> Architecture:
     arch = Architecture(name, noc)
     if "tile" not in arch_node:
         raise DescriptionParsingError("No tile section defined")
+    template_cache: dict = {}
     for tile_node in _as_list(arch_node["tile"]):
-        _parse_tile(tile_node, arch)
+        _parse_tile(tile_node, arch, template_cache)
     return arch
 
 

@@ -151,9 +151,24 @@ def test_all_reference_arch_files_parse(arch_dir):
         "loihi_with_noise.yaml",
         "truenorth.yaml",
         "demo_with_dendrites.yaml",
+        "neurofem.yaml",
     ):
         arch = load_arch(arch_dir / name)
         assert arch.core_count > 0
+
+
+def test_loihi_large_parses_fast(arch_dir):
+    """loihi_large expands to 4096 cores x ~1030 units; shared parse
+    templates (yaml_arch._parse_core) keep this in fractions of a second
+    (it took ~48 s with per-core re-expansion)."""
+    import time
+
+    start = time.perf_counter()
+    arch = load_arch(arch_dir / "loihi_large.yaml")
+    elapsed = time.perf_counter() - start
+    assert arch.core_count == 4096
+    assert len(arch.tiles) == 1024
+    assert elapsed < 10.0
 
 
 def test_example_chip_counts(arch_dir):
