@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Performance-regression gate: run bench.py and FAIL on >10% slowdown
+against the stored baseline.
+
+Reference analog: tests/ci/check_perf.rb + perf_baseline.txt (which only
+warns); this gate exits non-zero so CI actually blocks regressions.
+
+Usage:
+  check_perf.py            # compare against ci/perf_baseline.json
+  check_perf.py --update   # run and store the result as the new baseline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+BASELINE_PATH = Path(__file__).parent / "perf_baseline.json"
+REPO_ROOT = Path(__file__).parent.parent
+TOLERANCE = 0.10  # fail when >10% slower (check_perf.rb warns at the same)
+
+
+def run_bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO_ROOT / "bench.py")],
+        capture_output=True, text=True, check=True, cwd=REPO_ROOT,
+    )
+    last = out.stdout.strip().splitlines()[-1]
+    return json.loads(last)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--update", action="store_true",
+                        help="store the measured value as the new baseline")
+    args = parser.parse_args(argv)
+
+    result = run_bench()
+    value = float(result["value"])
+    print(f"measured: {value:,.1f} {result['unit']} "
+          f"({result['vs_baseline']}x reference)")
+
+    if args.update or not BASELINE_PATH.exists():
+        BASELINE_PATH.write_text(json.dumps(result, indent=2) + "\n")
+        print(f"baseline {'updated' if args.update else 'created'}: "
+              f"{BASELINE_PATH}")
+        return 0
+
+    baseline = json.loads(BASELINE_PATH.read_text())
+    base_value = float(baseline["value"])
+    ratio = value / base_value
+    print(f"baseline: {base_value:,.1f} {baseline['unit']} "
+          f"(ratio {ratio:.3f})")
+    if ratio < 1.0 - TOLERANCE:
+        print(f"FAIL: >{TOLERANCE:.0%} slower than the stored baseline")
+        return 1
+    if ratio > 1.0 + TOLERANCE:
+        print("note: significantly faster than baseline — consider "
+              "committing a new baseline with --update")
+    print("OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

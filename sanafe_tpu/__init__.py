@@ -32,7 +32,12 @@ from .network import (
 from .network import SpikingNetwork as Network
 from .trace import NeuronAddress
 from .yaml_arch import DescriptionParsingError
-from ._examples import load_example, load_loihi, load_truenorth
+from ._examples import (
+    examples_dir,
+    load_example,
+    load_loihi,
+    load_truenorth,
+)
 from . import data, layers
 
 __version__ = "0.1.0"
@@ -56,8 +61,11 @@ __all__ = [
     "SpikingChip",
     "SpikingNetwork",
     "TileConfiguration",
+    "examples_dir",
     "get_builtin_models",
     "load_arch",
+    "load_example",
+    "load_loihi",
     "load_net",
     "register_model",
 ]

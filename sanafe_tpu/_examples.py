@@ -175,3 +175,11 @@ def load_truenorth() -> Architecture:
         soma.implements_soma = True
         core.create_axon_out("axon_out", AxonOutPowerMetrics())
     return arch
+
+def examples_dir():
+    """Path to the packaged example data (dvs_challenge.npz, tutorial
+    YAML descriptions) — reference analog: the sanafe/examples package
+    data directory."""
+    from pathlib import Path
+
+    return Path(__file__).resolve().parent / "examples"

@@ -400,32 +400,53 @@ class SpikingChip:
         t0 = self.total_timesteps + 1
         pending = None  # (lazy outputs, t0, length) — double buffering:
         # chunk k's host-side processing overlaps chunk k+1's device work
-        while remaining > 0:
-            this_chunk = min(chunk, remaining)
-            scan_key = (prog_key, this_chunk)
-            run_chunk = self._scan_cache.get(scan_key)
-            if run_chunk is None:
-                run_chunk = prog.make_scan(this_chunk)
-                self._scan_cache[scan_key] = run_chunk
-            device_start = time.perf_counter()
-            feeds = self._build_feeds(this_chunk)
-            self._device_state, outputs = run_chunk(
-                self._device_state, np.int64(t0), feeds
-            )
-            self.neuron_processing_wall += time.perf_counter() - device_start
-            if pending is not None:
-                self._process_chunk_outputs(
-                    pending[0], pending[1], pending[2], timing_model, rd,
-                    heartbeat,
+        interrupted: Optional[BaseException] = None
+        try:
+            while remaining > 0:
+                this_chunk = min(chunk, remaining)
+                scan_key = (prog_key, this_chunk)
+                run_chunk = self._scan_cache.get(scan_key)
+                if run_chunk is None:
+                    run_chunk = prog.make_scan(this_chunk)
+                    self._scan_cache[scan_key] = run_chunk
+                device_start = time.perf_counter()
+                feeds = self._build_feeds(this_chunk)
+                self._device_state, outputs = run_chunk(
+                    self._device_state, np.int64(t0), feeds
                 )
-            pending = (outputs, t0, this_chunk)
-            t0 += this_chunk
-            remaining -= this_chunk
-            self.total_timesteps += this_chunk
+                self.neuron_processing_wall += (
+                    time.perf_counter() - device_start
+                )
+                if pending is not None:
+                    self._process_chunk_outputs(
+                        pending[0], pending[1], pending[2], timing_model, rd,
+                        heartbeat,
+                    )
+                pending = (outputs, t0, this_chunk)
+                t0 += this_chunk
+                remaining -= this_chunk
+                self.total_timesteps += this_chunk
+        except KeyboardInterrupt as exc:
+            # Graceful interruption between device chunks (the reference
+            # polls SIGINT every 100 ms while simulating,
+            # src/pymodule.cpp:638-652): stop issuing work, drain the chunk
+            # already counted so totals and trace files stay consistent,
+            # close the traces, then re-raise.
+            interrupted = exc
         if pending is not None:
             self._process_chunk_outputs(
                 pending[0], pending[1], pending[2], timing_model, rd, heartbeat
             )
+        if interrupted is not None:
+            executed = self.total_timesteps - rd.timestep_start + 1
+            rd.timesteps_executed = executed
+            self.close()
+            print(
+                f"Simulation interrupted after {executed} of {timesteps} "
+                "timesteps; traces flushed.",
+                file=sys.stderr,
+            )
+            raise interrupted
 
         # accumulate chip totals
         self.total_energy += rd.total_energy

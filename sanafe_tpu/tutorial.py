@@ -115,3 +115,11 @@ def check_exercise_api_1(snn) -> bool:
     ok = edges >= 1
     print("PASS" if ok else "FAIL: connect at least two neurons")
     return ok
+
+def get_dvs_data():
+    """Binary stream of the packaged DVS-gesture weights
+    (reference sanafe/tutorial.py:43-45)."""
+    from ._examples import examples_dir
+
+    return (examples_dir() / "dvs_challenge.npz").open("rb")
+

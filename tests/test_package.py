@@ -327,3 +327,40 @@ def test_checkpoint_covers_delay_ring_state(tmp_path):
     r_resumed = chip2.sim(6, timing_model="simple", heartbeat=0,
                           potential_trace=True)
     assert r_resumed["potential_trace"].data == r_direct["potential_trace"].data
+
+
+def test_keyboard_interrupt_flushes_traces(tmp_path):
+    """Ctrl-C between device chunks stops the run but leaves consistent
+    totals and flushed trace files (the reference polls SIGINT every
+    100 ms; src/pymodule.cpp:638-652)."""
+    import pytest
+
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    original = chip._build_feeds
+    calls = {"n": 0}
+
+    def interrupting_feeds(length):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+        return original(length)
+
+    chip._build_feeds = interrupting_feeds
+    spike_path = tmp_path / "spikes.csv"
+    with pytest.raises(KeyboardInterrupt):
+        chip.sim(100, chunk=10, spike_trace=spike_path, heartbeat=0)
+    # two chunks (20 steps) were issued and drained before the interrupt
+    assert chip.total_timesteps == 20
+    text = spike_path.read_text()
+    assert text.startswith("neuron,timestep")
+    assert all(
+        int(line.split(",")[1]) <= 20
+        for line in text.splitlines()[1:]
+        if line
+    )
+    # the chip remains usable afterwards
+    chip._build_feeds = original
+    result = chip.sim(10, heartbeat=0)
+    assert result["timesteps_executed"] == 10
