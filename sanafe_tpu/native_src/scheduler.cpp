@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <mutex>
 #include <queue>
 #include <vector>
@@ -312,6 +313,8 @@ double sweep_timestep(const ChipLayout &L,
     EventHeap heap;
     int64_t seq = 0;
     double last_ts = 0.0;
+    constexpr double kInf = std::numeric_limits<double>::infinity();
+    double retire_lb = kInf;  // min recv_ts of any in-flight message
 
     auto push_next = [&](int core, const Msg *base) {
         int32_t i = heads[core]++;
@@ -344,18 +347,26 @@ double sweep_timestep(const ChipLayout &L,
         // cores in id order and each list in arrival order — the exact
         // update sequence of noc_update_all_tracked_messages
         // (src/schedule.cpp:380-400); the rolling mean is order-sensitive.
-        for (auto &fleet : noc.in_flight) {
-            size_t kept = 0;
-            for (size_t k = 0; k < fleet.size(); ++k) {
-                Msg &rm = queues[fleet[k].first][fleet[k].second];
-                if (m.sent_ts >= rm.recv_ts) {
-                    update_density(L, noc, rm, false);
-                    update_rolling_mean(noc, rm, false);
-                } else {
-                    fleet[kept++] = fleet[k];
+        // The scan is skipped while no in-flight message can retire
+        // (m.sent_ts below the minimum tracked receive time) — an exact
+        // shortcut that avoids O(cores) work per event.
+        if (m.sent_ts >= retire_lb) {
+            double new_lb = kInf;
+            for (auto &fleet : noc.in_flight) {
+                size_t kept = 0;
+                for (size_t k = 0; k < fleet.size(); ++k) {
+                    Msg &rm = queues[fleet[k].first][fleet[k].second];
+                    if (m.sent_ts >= rm.recv_ts) {
+                        update_density(L, noc, rm, false);
+                        update_rolling_mean(noc, rm, false);
+                    } else {
+                        if (rm.recv_ts < new_lb) new_lb = rm.recv_ts;
+                        fleet[kept++] = fleet[k];
+                    }
                 }
+                fleet.resize(kept);
             }
-            fleet.resize(kept);
+            retire_lb = new_lb;
         }
 
         if (m.axon >= 0) {
@@ -389,6 +400,7 @@ double sweep_timestep(const ChipLayout &L,
             update_density(L, noc, m, true);
             update_rolling_mean(noc, m, true);
             noc.in_flight[m.dest_core].emplace_back(e.core, e.idx);
+            if (m.recv_ts < retire_lb) retire_lb = m.recv_ts;
         }
 
         if (heads[e.core] < static_cast<int32_t>(queues[e.core].size())) {
