@@ -99,6 +99,7 @@ class sanafe_Backend(_FuguBackend):
             if record_all:
                 neurons_to_record.add(name)
 
+        self.group_neurons = {}
         for brick_tag, neuron_list in self.brick_groups.items():
             group_name = brick_tag
             if brick_tag in self.fugu_circuit.nodes:
@@ -108,7 +109,9 @@ class sanafe_Backend(_FuguBackend):
             group = self.net.create_neuron_group(
                 str(group_name), len(neuron_list)
             )
-            self.brick_groups[brick_tag] = neuron_list
+            # groups are keyed by display name in traces; keep the lookup
+            # from group name back to the fugu node ids
+            self.group_neurons[str(group_name)] = neuron_list
             for i, fugu_node_id in enumerate(neuron_list):
                 props = self.fugu_graph.nodes[fugu_node_id]
                 attrs = self._convert_props(props)
@@ -179,7 +182,7 @@ class sanafe_Backend(_FuguBackend):
         spikes_df["time"] = spikes_df["timestep"] - 1.0
         numbers = []
         for _, row in spikes_df.iterrows():
-            brick = self.brick_groups[row["group"]]
+            brick = self.group_neurons[row["group"]]
             fugu_name = brick[row["neuron_offset"]]
             numbers.append(self.fugu_name_to_neuron_number[fugu_name])
         spikes_df["neuron_number"] = numbers

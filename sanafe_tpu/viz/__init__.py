@@ -5,9 +5,13 @@ from .potential import plot_potential, plot_potential_lines
 from .performance import plot_energy, plot_throughput, plot_message_latency
 from .styles import (
     SANAFEStyle,
+    create_figure,
+    extended_palette,
+    get_colormap,
     get_group_colors,
     apply_style,
     set_default_style,
+    style_axis,
     PUBLICATION_STYLE,
     PRESENTATION_STYLE,
     NOTEBOOK_STYLE,
@@ -21,7 +25,11 @@ __all__ = [
     "plot_throughput",
     "plot_message_latency",
     "SANAFEStyle",
+    "create_figure",
+    "extended_palette",
+    "get_colormap",
     "get_group_colors",
+    "style_axis",
     "apply_style",
     "set_default_style",
     "PUBLICATION_STYLE",

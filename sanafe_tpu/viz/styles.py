@@ -73,7 +73,77 @@ def get_group_colors(groups, style: SANAFEStyle | None = None) -> dict:
     """Stable color assignment for a set of group names."""
     style = style or _default_style
     palette = style.palette
+    if len(set(groups)) > len(palette):
+        palette = extended_palette(style)
     return {
         group: palette[i % len(palette)]
         for i, group in enumerate(sorted(set(groups)))
     }
+
+
+def extended_palette(style: SANAFEStyle | None = None) -> list:
+    """The style palette extended with additional distinguishable hues for
+    plots with many groups (reference EXTENDED_COLORS)."""
+    style = style or _default_style
+    return list(style.palette) + [
+        "#004488", "#997700", "#994455", "#117733",
+        "#88CCEE", "#DDCC77", "#CC6677", "#332288",
+    ]
+
+
+def get_colormap(name: str = "neuromorphic", n_colors: int = 256):
+    """Continuous colormaps for heatmaps: 'neuromorphic' (dark blue →
+    teal → yellow, the reference's NEUROMORPHIC_CMAP), 'energy' (white →
+    red), or any matplotlib colormap name."""
+    from matplotlib.colors import LinearSegmentedColormap
+
+    if name == "neuromorphic":
+        return LinearSegmentedColormap.from_list(
+            "neuromorphic",
+            ["#0B1354", "#1F6E8C", "#2EB8A5", "#A7E030", "#FDE725"],
+            N=n_colors,
+        )
+    if name == "energy":
+        return LinearSegmentedColormap.from_list(
+            "energy", ["#FFFFFF", "#FFD166", "#EF476F", "#9D0208"],
+            N=n_colors,
+        )
+    return plt.get_cmap(name, n_colors)
+
+
+def create_figure(
+    nrows: int = 1,
+    ncols: int = 1,
+    style: SANAFEStyle | None = None,
+    **subplot_kwargs,
+):
+    """Create a styled (fig, axes) pair under the given style's rc params
+    (reference styles.create_figure)."""
+    style = style or _default_style
+    with mpl.rc_context(style.rc_params()):
+        fig, axes = plt.subplots(nrows, ncols, **subplot_kwargs)
+    return fig, axes
+
+
+def style_axis(
+    ax,
+    title: str | None = None,
+    xlabel: str | None = None,
+    ylabel: str | None = None,
+    style: SANAFEStyle | None = None,
+    legend: bool = False,
+) -> None:
+    """Apply the style's labeling conventions to an axis
+    (reference styles.style_axis)."""
+    style = style or _default_style
+    if title:
+        ax.set_title(title, fontsize=style.title_size)
+    if xlabel:
+        ax.set_xlabel(xlabel, fontsize=style.label_size)
+    if ylabel:
+        ax.set_ylabel(ylabel, fontsize=style.label_size)
+    ax.tick_params(labelsize=style.font_size)
+    if style.grid:
+        ax.grid(True, alpha=0.3)
+    if legend:
+        ax.legend(fontsize=style.font_size)
