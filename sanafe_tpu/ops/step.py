@@ -307,8 +307,13 @@ class DeviceProgram:
         if unroll is None:
             # Small fused-path chips are kernel-overhead bound: unrolling
             # the scan amortizes per-iteration loop overhead (~25% win).
-            # Large chips do real per-step work; keep the HLO small.
-            unroll = 16 if self.fused_rollup else 1
+            # Large chips do real per-step work; keep the HLO small. Cap
+            # the unrolled trace size (unroll x chunk_len) so long chunks
+            # don't blow up compile time.
+            if self.fused_rollup:
+                unroll = 16 if chunk_len <= 16384 else 8
+            else:
+                unroll = 1
         unroll = max(1, min(unroll, chunk_len))
         if chunk_len % unroll:
             unroll = 1
