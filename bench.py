@@ -41,7 +41,7 @@ def build_chip():
     return _build_chip()
 
 
-CHUNK = 32768  # amortizes per-chunk host-link latency; compiles in ~2 s
+CHUNK = 262144  # amortizes per-chunk host-link latency; compiles in ~10 s
 REPS = 4
 
 

@@ -402,12 +402,15 @@ class SpikingChip:
         # chunk k's host-side processing overlaps chunk k+1's device work
         interrupted: Optional[BaseException] = None
         try:
+            perf_on = traces["perf"].sink.enabled
             while remaining > 0:
                 this_chunk = min(chunk, remaining)
-                scan_key = (prog_key, this_chunk)
+                scan_key = (prog_key, this_chunk, perf_on)
                 run_chunk = self._scan_cache.get(scan_key)
                 if run_chunk is None:
-                    run_chunk = prog.make_scan(this_chunk)
+                    run_chunk = self._make_chunk_runner(
+                        prog, this_chunk, perf_on
+                    )
                     self._scan_cache[scan_key] = run_chunk
                 device_start = time.perf_counter()
                 feeds = self._build_feeds(this_chunk)
@@ -466,6 +469,33 @@ class SpikingChip:
         result["perf_trace"] = traces["perf"].memory
         result["message_trace"] = traces["message"].memory
         return result
+
+    def _make_chunk_runner(self, prog: DeviceProgram, chunk_len: int,
+                           perf_on: bool):
+        """Pick the fastest device path for a chunk: the whole-chunk Pallas
+        kernel on TPU for eligible small chips (ops/pallas_chunk.py), else
+        the XLA ``lax.scan``. The perf trace needs per-step stats rows,
+        which only the scan path produces."""
+        if not perf_on:
+            import os
+
+            mode = os.environ.get("SANAFE_PALLAS_CHUNK", "1")
+            interpret = mode == "interpret"
+            if mode != "0" and (
+                interpret or jax.default_backend() == "tpu"
+            ):
+                from .ops.pallas_chunk import make_pallas_chunk
+
+                for ts_block in (256, 128, 512, 64, 32, chunk_len):
+                    if ts_block <= 1024 and chunk_len % ts_block == 0:
+                        run = make_pallas_chunk(
+                            prog, chunk_len, ts_block=ts_block,
+                            interpret=interpret,
+                        )
+                        if run is not None:
+                            return run
+                        break  # program ineligible; ts_block won't help
+        return prog.make_scan(chunk_len)
 
     def _open_traces(
         self,
@@ -530,30 +560,58 @@ class SpikingChip:
         traces = self._trace_states
         prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
 
-        # One stats tensor per chunk: [T, 11] = (spike_ops, packets, hops,
-        # updated, fired, synapse_e, dendrite_e, soma_e, network_e, total_e,
-        # sim_time) — consolidated on device to minimize link round-trips
         fetch_start = time.perf_counter()
-        stats = np.asarray(outputs["stats"], dtype=np.float64)
-        self.message_processing_wall += time.perf_counter() - fetch_start
-        counters = np.round(stats[:, :5]).astype(np.int64)
-        energies = stats[:, 5:11]
-        energy_start = time.perf_counter()
-        packets_total = int(counters[:, 1].sum())
-        rd.spikes += int(counters[:, 0].sum())
-        rd.packets_sent += packets_total
-        self.total_messages_sent += packets_total
-        rd.neurons_updated += int(counters[:, 3].sum())
-        rd.neurons_fired += int(counters[:, 4].sum())
-        rd.synapse_energy += float(energies[:, 0].sum())
-        rd.dendrite_energy += float(energies[:, 1].sum())
-        rd.soma_energy += float(energies[:, 2].sum())
-        rd.network_energy += float(energies[:, 3].sum())
-        rd.total_energy += float(energies[:, 4].sum())
-        self.energy_stats_wall += time.perf_counter() - energy_start
+        if "packed" in outputs:
+            # Whole-chunk Pallas path (ops/pallas_chunk.py): ONE fetched
+            # buffer carrying on-device counter/energy sums + the packed
+            # per-step masks/logs.
+            from .ops.pallas_chunk import decode_packed
 
-        # timing model
-        sim_times = energies[:, 5]
+            buf = np.asarray(outputs["packed"])
+            self.message_processing_wall += time.perf_counter() - fetch_start
+            energy_start = time.perf_counter()
+            dec = decode_packed(buf, outputs["packed_layout"])
+            cs = dec["counter_sums"]
+            packets_total = int(cs[1])
+            rd.spikes += int(cs[0])
+            rd.packets_sent += packets_total
+            self.total_messages_sent += packets_total
+            rd.neurons_updated += int(cs[3])
+            rd.neurons_fired += int(cs[4])
+            es = dec["energy_sums"]
+            rd.synapse_energy += float(es[0])
+            rd.dendrite_energy += float(es[1])
+            rd.soma_energy += float(es[2])
+            rd.network_energy += float(es[3])
+            rd.total_energy += float(es.sum())
+            self.energy_stats_wall += time.perf_counter() - energy_start
+            outputs = dec
+            sim_times = np.array([dec["sim_time_sum"]])
+        else:
+            # One stats tensor per chunk: [T, 11] = (spike_ops, packets,
+            # hops, updated, fired, synapse_e, dendrite_e, soma_e,
+            # network_e, total_e, sim_time) — consolidated on device to
+            # minimize link round-trips
+            stats = np.asarray(outputs["stats"], dtype=np.float64)
+            self.message_processing_wall += time.perf_counter() - fetch_start
+            counters = np.round(stats[:, :5]).astype(np.int64)
+            energies = stats[:, 5:11]
+            energy_start = time.perf_counter()
+            packets_total = int(counters[:, 1].sum())
+            rd.spikes += int(counters[:, 0].sum())
+            rd.packets_sent += packets_total
+            self.total_messages_sent += packets_total
+            rd.neurons_updated += int(counters[:, 3].sum())
+            rd.neurons_fired += int(counters[:, 4].sum())
+            rd.synapse_energy += float(energies[:, 0].sum())
+            rd.dendrite_energy += float(energies[:, 1].sum())
+            rd.soma_energy += float(energies[:, 2].sum())
+            rd.network_energy += float(energies[:, 3].sum())
+            rd.total_energy += float(energies[:, 4].sum())
+            self.energy_stats_wall += time.perf_counter() - energy_start
+
+            # timing model
+            sim_times = energies[:, 5]
         messages_by_step: list[Optional[list[list[MessageRecord]]]] = [
             None
         ] * length
