@@ -200,6 +200,32 @@ def _extract_unit_defaults(unit: HardwareUnit) -> None:
 
 
 @dataclass
+class ConvSpec:
+    """A conv2d hyperedge preserved in structured form.
+
+    The reference expands conv2d descriptions into individual edges
+    (src/network.cpp:377-528); the flat edge arrays keep that expansion for
+    axon allocation, counters, and the timing model, but the device kernel
+    can deliver spikes as an actual strided convolution — the source
+    group's neuron indexing (ci*W*H + y*W + x) is literally an NCHW plane
+    and the filter layout (yf, xf, ci, co) is literally HWIO, so delivery
+    maps onto one ``lax.conv_general_dilated`` over a tiny kernel instead
+    of a block-sparse matmul over megabytes of materialized weights."""
+
+    src_group: str
+    dest_group: str
+    in_w: int
+    in_h: int
+    in_c: int
+    k_w: int
+    k_h: int
+    out_c: int
+    s_w: int
+    s_h: int
+    kernel: np.ndarray  # [k_h, k_w, in_c, out_c] float64 (HWIO)
+
+
+@dataclass
 class CompiledChip:
     """Dense, device-ready lowering of one mapped chip."""
 
@@ -306,6 +332,10 @@ class CompiledChip:
     # cost of the message-phase dendrite/soma work per edge
     edge_dendrite_energy: np.ndarray = None
     edge_dendrite_latency: np.ndarray = None
+    # structured (conv2d) hyperedges + per-edge membership flag; the device
+    # kernel delivers flagged edges as convolutions (ops/step.py)
+    conv_specs: list = field(default_factory=list)
+    edge_from_conv: np.ndarray = None
 
     # trace orderings (sorted by group name then offset,
     # matching sim_trace_record_* iteration; src/chip.cpp:1610-1702)
@@ -935,7 +965,59 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
             unit_ids = default_syn_unit[post]
             seq = bulk_seq_base + running + np.arange(k, dtype=np.int64)
             running += k
-            bulk_parts.append((pre, post, weight, delay, tap, unit_ids, seq))
+            structure = getattr(bulk, "structure", None)
+            from_conv = np.zeros(k, dtype=bool)
+            if (
+                structure is not None
+                and structure[0] == "conv2d"
+                and not delay.any()
+                and not tap.any()
+            ):
+                conv = structure[1]
+                filter_weights = structure[2]
+                n_taps = (
+                    conv.kernel_height
+                    * conv.kernel_width
+                    * conv.input_channels
+                    * conv.kernel_count
+                )
+                kernel = (
+                    filter_weights[:n_taps].reshape(
+                        conv.kernel_height,
+                        conv.kernel_width,
+                        conv.input_channels,
+                        conv.kernel_count,
+                    )
+                    if filter_weights is not None
+                    else np.zeros(
+                        (
+                            conv.kernel_height,
+                            conv.kernel_width,
+                            conv.input_channels,
+                            conv.kernel_count,
+                        ),
+                        dtype=f64,
+                    )
+                )
+                compiled.conv_specs.append(
+                    ConvSpec(
+                        src_group=group_name,
+                        dest_group=bulk.dest_group_name,
+                        in_w=conv.input_width,
+                        in_h=conv.input_height,
+                        in_c=conv.input_channels,
+                        k_w=conv.kernel_width,
+                        k_h=conv.kernel_height,
+                        out_c=conv.kernel_count,
+                        s_w=conv.stride_width,
+                        s_h=conv.stride_height,
+                        kernel=kernel.astype(f64),
+                    )
+                )
+                from_conv[:] = True
+            bulk_parts.append(
+                (pre, post, weight, delay, tap, unit_ids, seq, from_conv)
+            )
             counts = np.bincount(unit_ids, minlength=len(compiled.units))
             for unit in compiled.units:
                 add = int(counts[unit.unit_id])
@@ -956,6 +1038,7 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     all_tap = concat(obj_tap, 4, np.int32)
     all_unit = concat(obj_unit, 5, np.int32)
     all_seq = concat(obj_seq, 6, np.int64)
+    all_from_conv = concat([False] * len(obj_pre), 7, bool)
 
     # ---- 4. axon allocation (src/chip.cpp:382-408,1263-1391), vectorized.
     # Reference order: cores in id order, neurons in slot order, dest cores
@@ -971,6 +1054,7 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
         all_delay = all_delay[order]
         all_tap = all_tap[order]
         all_unit = all_unit[order]
+        all_from_conv = all_from_conv[order]
         dest_core_per_edge = dest_core_per_edge[order]
         pair_key = all_pre * np.int64(len(cores)) + dest_core_per_edge
         new_axon = np.empty(e, dtype=bool)
@@ -1007,6 +1091,7 @@ def compile_chip(arch: Architecture, net: SpikingNetwork) -> CompiledChip:
     compiled.edge_synapse_unit_id = all_unit
     compiled.edge_delay = all_delay
     compiled.edge_tap = all_tap
+    compiled.edge_from_conv = all_from_conv
     compiled.has_delay_dendrite = bool(
         np.any(
             compiled.dendrite_model[compiled.edge_dest_slot]

@@ -230,6 +230,11 @@ class BulkEdges:
     attributes: dict[str, tuple["np.ndarray", bool, bool]] = field(
         default_factory=dict
     )
+    # Generator structure, when the hyperedge came from a structured
+    # generator: ("conv2d", Conv2DParameters, filter_weights_f64 | None).
+    # Lets the device program deliver spikes as an actual convolution
+    # (ops/step.py build_conv_delivery) instead of materialized edges.
+    structure: "Optional[tuple]" = None
 
     def __len__(self) -> int:
         return len(self.src_idx)
@@ -524,12 +529,19 @@ class NeuronGroup:
                         f"({len(values)}): {key}"
                     )
                 edge_attrs[key] = (values[filter_idx], fwd_syn, fwd_den)
+            filter_weights = None
+            for key in ("w", "weight"):
+                if key in arrays:
+                    values, fwd_syn, _ = arrays[key]
+                    if fwd_syn:
+                        filter_weights = np.asarray(values, dtype=np.float64)
             self.bulk_edges.append(
                 BulkEdges(
                     dest_group_name=dest_group.name,
                     src_idx=src_idx.astype(np.int32),
                     dest_idx=dest_idx.astype(np.int32),
                     attributes=edge_attrs,
+                    structure=("conv2d", c, filter_weights),
                 )
             )
             return

@@ -69,11 +69,15 @@ class BlockDelivery:
     counts: jnp.ndarray  # [B, tile, tile] int8, edge counts (saturated)
 
 
-def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
+def build_block_delivery(
+    c: CompiledChip, edge_subset: Optional[np.ndarray] = None
+) -> Optional[BlockDelivery]:
     """Lower the edge CSR into dense (src-tile, dest-tile) weight blocks.
 
     Usable whenever every dendrite is a plain accumulator (no per-edge delay
     slots or tap routing); models with per-edge state keep the scatter path.
+    ``edge_subset`` (bool [E]) restricts the lowering to a subset of edges —
+    used by the conv path to handle only the leftover unstructured edges.
     """
     if c.has_delay_dendrite or c.has_multitap or c.has_plugin_comp:
         return None
@@ -81,7 +85,10 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
     tile = min(DELIVERY_TILE, max(8, 1 << (n - 1).bit_length()))
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
-    if c.n_edges == 0:
+    n_edges = (
+        int(edge_subset.sum()) if edge_subset is not None else c.n_edges
+    )
+    if n_edges == 0:
         return BlockDelivery(
             tile=tile,
             n_tiles=n_tiles,
@@ -93,6 +100,11 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
         )
     src = c.axon_src_slot[c.edge_axon].astype(np.int64)
     dst = c.edge_dest_slot.astype(np.int64)
+    edge_weight = c.edge_weight
+    if edge_subset is not None:
+        src = src[edge_subset]
+        dst = dst[edge_subset]
+        edge_weight = edge_weight[edge_subset]
     src_t = src // tile
     dst_t = dst // tile
     key = dst_t * n_tiles + src_t  # dest-major so segment ids sort ascending
@@ -104,7 +116,7 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
     np.add.at(
         weights,
         (block_of_edge, src % tile, dst % tile),
-        c.edge_weight,
+        edge_weight,
     )
     counts16 = np.zeros((B, tile, tile), dtype=np.int16)
     np.add.at(counts16, (block_of_edge, src % tile, dst % tile), 1)
@@ -116,6 +128,126 @@ def build_block_delivery(c: CompiledChip) -> Optional[BlockDelivery]:
         dest_tiles=jnp.asarray((uniq // n_tiles).astype(np.int32)),
         weights=jnp.asarray(weights),
         counts=jnp.asarray(np.minimum(counts16, 127).astype(np.int8)),
+    )
+
+
+@dataclass
+class ConvDelivery:
+    """Structured (convolutional) spike delivery.
+
+    For nets described with conv2d hyperedges (compile.py ConvSpec), the
+    message phase runs each hyperedge as ONE strided convolution on the
+    MXU: the HBM read per step is the few-KB filter instead of the
+    megabytes of materialized block weights (a DVS-gesture chip's 3.5M
+    edges lower to ~300 MB of 4.5%-dense blocks but only ~150 KB of
+    filters). The reference's neuron indexing (src/network.cpp:377-528,
+    ``ci*W*H + y*W + x``) makes each group's slot range an NCHW plane and
+    the filter layout HWIO, so no data movement beyond a static
+    slot-permutation (applied as contiguous-run slices) is needed.
+
+    An extra all-ones output channel is appended to every filter so the
+    same convolution also yields each destination's arrival count, whose
+    positivity is the reference's buffer_valid condition
+    (src/chip.cpp:656-708). Edges not covered by any conv spec (e.g. a
+    dense classifier head) keep the block-matmul path over just those
+    leftover edges.
+    """
+
+    # per conv spec: (src_group, dest_group, kernel f64 [kh,kw,cin,cout+1],
+    # (s_h, s_w), (cin, h, w), (cout, oh, ow))
+    entries: list
+    # group -> list[(slot_start, slot_stop)] whose concatenation is the
+    # group's fired vector in neuron-offset order
+    gather_runs: dict
+    # slot-ordered partition of [0, n): (group_name | None, off_a, off_b);
+    # concatenating each group's delivery result (or zeros) over these
+    # pieces rebuilds the global slot-axis vector
+    out_pieces: list
+    # block delivery over the edges not covered by conv specs
+    leftover: Optional[BlockDelivery]
+
+
+def _slot_runs(slots: np.ndarray) -> list[tuple[int, int]]:
+    """Decompose an offset-ordered slot array into maximal contiguous
+    [start, stop) slot ranges."""
+    s = np.asarray(slots, dtype=np.int64)
+    if len(s) == 0:
+        return []
+    breaks = np.nonzero(np.diff(s) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    stops = np.concatenate([breaks + 1, [len(s)]])
+    return [(int(s[a]), int(s[a]) + int(b - a)) for a, b in zip(starts, stops)]
+
+
+def build_conv_delivery(c: CompiledChip) -> Optional[ConvDelivery]:
+    """Build the structured delivery plan, or None when inapplicable."""
+    specs = getattr(c, "conv_specs", None)
+    if not specs:
+        return None
+    if c.has_delay_dendrite or c.has_multitap or c.has_plugin_comp:
+        return None
+    if getattr(c, "edge_from_conv", None) is None:
+        return None
+
+    entries = []
+    gather_runs: dict[str, list] = {}
+    for spec in specs:
+        out_h = (spec.in_h - spec.k_h) // spec.s_h + 1
+        out_w = (spec.in_w - spec.k_w) // spec.s_w + 1
+        kernel = np.concatenate(
+            [
+                spec.kernel,
+                np.ones((spec.k_h, spec.k_w, spec.in_c, 1), dtype=np.float64),
+            ],
+            axis=3,
+        )
+        entries.append(
+            (
+                spec.src_group,
+                spec.dest_group,
+                kernel,
+                (spec.s_h, spec.s_w),
+                (spec.in_c, spec.in_h, spec.in_w),
+                (spec.out_c, out_h, out_w),
+            )
+        )
+        if spec.src_group not in gather_runs:
+            gather_runs[spec.src_group] = _slot_runs(c.groups[spec.src_group])
+
+    # Slot-space partition: maximal runs with a single (group, contiguous
+    # offsets) identity. Only conv-DEST groups contribute values; the rest
+    # are zero pieces (any non-conv delivery arrives via the leftover
+    # block path and is added on top).
+    conv_dests = {e[1] for e in entries}
+    group_of_slot = np.full(c.n_neurons, -1, dtype=np.int64)
+    offset_of_slot = np.zeros(c.n_neurons, dtype=np.int64)
+    names = sorted(c.groups)
+    for gi, name in enumerate(names):
+        slots = np.asarray(c.groups[name])
+        group_of_slot[slots] = gi
+        offset_of_slot[slots] = np.arange(len(slots))
+    boundary = np.nonzero(
+        (np.diff(group_of_slot) != 0) | (np.diff(offset_of_slot) != 1)
+    )[0]
+    starts = np.concatenate([[0], boundary + 1])
+    stops = np.concatenate([boundary + 1, [c.n_neurons]])
+    out_pieces = []
+    for a, b in zip(starts, stops):
+        name = names[group_of_slot[a]]
+        out_pieces.append(
+            (
+                name if name in conv_dests else None,
+                int(offset_of_slot[a]),
+                int(offset_of_slot[a]) + int(b - a),
+            )
+        )
+
+    leftover = build_block_delivery(c, edge_subset=~c.edge_from_conv)
+    return ConvDelivery(
+        entries=entries,
+        gather_runs=gather_runs,
+        out_pieces=out_pieces,
+        leftover=leftover,
     )
 
 
@@ -219,6 +351,9 @@ class DeviceProgram:
     sync_delay: float
     block: Optional[BlockDelivery] = None
     pallas_delivery: Optional[Any] = None
+    # Structured conv delivery; when set, `block` holds only the leftover
+    # (non-conv) edges and the conv kernels live in arrays["conv_kernel_i"]
+    conv_delivery: Optional[ConvDelivery] = None
     # Statically known set of soma model ids present on this chip; absent
     # model paths are never traced into the step, cutting kernel count.
     models_present: frozenset = frozenset()
@@ -463,14 +598,30 @@ def make_device_program(
         core_onehot = np.zeros((c.n_neurons, c.n_cores), dtype=np.float32)
         core_onehot[np.arange(c.n_neurons), c.core_id] = 1.0
         arrays["core_onehot"] = farr(core_onehot)
-    block = build_block_delivery(c)
+    import os
+
+    conv_delivery = None
+    if os.environ.get("SANAFE_CONV_DELIVERY", "1") != "0":
+        conv_delivery = build_conv_delivery(c)
+    if conv_delivery is not None:
+        # structured conv path: the block arrays carry only leftover edges
+        block = conv_delivery.leftover
+        for i, entry in enumerate(conv_delivery.entries):
+            arrays[f"conv_kernel_{i}"] = farr(entry[2])
+    else:
+        block = build_block_delivery(c)
     pallas_delivery = None
     if block is not None:
         arrays["block_counts"] = block.counts
         arrays["block_src_tiles"] = block.src_tiles
         arrays["block_dest_tiles"] = block.dest_tiles
         arrays["block_weights"] = jnp.asarray(block.weights, dtype=dtype)
-        if use_pallas and block.weights.shape[0] > 0 and block.tile >= 128:
+        if (
+            use_pallas
+            and conv_delivery is None
+            and block.weights.shape[0] > 0
+            and block.tile >= 128
+        ):
             from .pallas_delivery import make_delivery_fn
 
             pallas_delivery = make_delivery_fn(block, dtype)
@@ -539,6 +690,7 @@ def make_device_program(
         sync_delay=sync_delay,
         block=block,
         pallas_delivery=pallas_delivery,
+        conv_delivery=conv_delivery,
         models_present=models_present,
         fused_rollup=fused_rollup,
         dense_delivery=dense_delivery,
@@ -833,71 +985,22 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         state_delay_ring = None
         state_tap_voltages = None
         state_comp_buffer = None
+    elif prog.conv_delivery is not None:
+        # Structured conv delivery (ConvDelivery): each conv2d hyperedge is
+        # ONE strided convolution; leftover unstructured edges (if any) add
+        # their block-matmul contribution on top.
+        buffer_current, any_input = _conv_deliver(prog, a, fired_f, dtype)
+        if prog.block is not None and prog.block.weights.shape[0] > 0:
+            blk_cur, blk_any = _block_deliver(prog, a, fired, fired_f,
+                                              dtype, n)
+            buffer_current = buffer_current + blk_cur
+            any_input = any_input | blk_any
+        state_delay_ring = None
+        state_tap_voltages = None
+        state_comp_buffer = None
     elif prog.block is not None:
-        # MXU block-dense matmul path (no per-edge gathers/scatters)
-        blk = prog.block
-        fired_pad = jnp.zeros(blk.n_pad, dtype=dtype).at[:n].set(fired_f)
-        tiles_f = fired_pad.reshape(blk.n_tiles, blk.tile)
-        if blk.weights.shape[0] > 0:
-            if "block_wc" in a:
-                # Single matmul delivers weighted currents and input counts
-                # together ([weights | counts] columns), halving the dot +
-                # segment-sum kernel count on small chips.
-                xs = tiles_f[a["block_src_tiles"]]
-                y = jnp.einsum(
-                    "bi,bij->bj", xs, a["block_wc"],
-                    preferred_element_type=dtype,
-                )
-                acc_wc = jax.ops.segment_sum(
-                    y,
-                    a["block_dest_tiles"],
-                    num_segments=blk.n_tiles,
-                    indices_are_sorted=True,
-                )
-                buffer_current = acc_wc[:, : blk.tile].reshape(-1)[:n]
-                any_input = acc_wc[:, blk.tile :].reshape(-1)[:n] > 0
-            else:
-                if prog.pallas_delivery is not None:
-                    # activity-gated pallas kernel: inactive weight blocks
-                    # are never fetched from HBM
-                    acc = prog.pallas_delivery(tiles_f, a["block_weights"])
-                else:
-                    xs = tiles_f[a["block_src_tiles"]]  # [B, tile] gather
-                    y = jnp.einsum(
-                        "bi,bij->bj", xs, a["block_weights"],
-                        preferred_element_type=dtype,
-                    )
-                    acc = jax.ops.segment_sum(
-                        y,
-                        a["block_dest_tiles"],
-                        num_segments=blk.n_tiles,
-                        indices_are_sorted=True,
-                    )
-                buffer_current = acc.reshape(-1)[:n]
-                fired_pad_i8 = (
-                    jnp.zeros(blk.n_pad, dtype=jnp.int8)
-                    .at[:n]
-                    .set(fired.astype(jnp.int8))
-                )
-                xi = fired_pad_i8.reshape(blk.n_tiles, blk.tile)[
-                    a["block_src_tiles"]
-                ]
-                cnt = jax.lax.dot_general(
-                    xi,
-                    a["block_counts"],
-                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32,
-                )
-                cnt_acc = jax.ops.segment_sum(
-                    cnt,
-                    a["block_dest_tiles"],
-                    num_segments=blk.n_tiles,
-                    indices_are_sorted=True,
-                )
-                any_input = cnt_acc.reshape(-1)[:n] > 0
-        else:
-            buffer_current = jnp.zeros(n, dtype=dtype)
-            any_input = jnp.zeros(n, dtype=bool)
+        buffer_current, any_input = _block_deliver(prog, a, fired, fired_f,
+                                                   dtype, n)
         state_delay_ring = None
         state_tap_voltages = None
         state_comp_buffer = None
@@ -1078,6 +1181,116 @@ def _packbits2(bits):
     return (
         padded.reshape(rows, -1, 8) * jnp.asarray(_BIT_WEIGHTS)
     ).sum(axis=2, dtype=jnp.uint8)
+
+
+def _block_deliver(prog, a, fired, fired_f, dtype, n):
+    """MXU block-dense matmul delivery (no per-edge gathers/scatters).
+    Returns (buffer_current [n], any_input [n] bool)."""
+    blk = prog.block
+    fired_pad = jnp.zeros(blk.n_pad, dtype=dtype).at[:n].set(fired_f)
+    tiles_f = fired_pad.reshape(blk.n_tiles, blk.tile)
+    if blk.weights.shape[0] == 0:
+        return (
+            jnp.zeros(n, dtype=dtype),
+            jnp.zeros(n, dtype=bool),
+        )
+    if "block_wc" in a:
+        # Single matmul delivers weighted currents and input counts
+        # together ([weights | counts] columns), halving the dot +
+        # segment-sum kernel count on small chips.
+        xs = tiles_f[a["block_src_tiles"]]
+        y = jnp.einsum(
+            "bi,bij->bj", xs, a["block_wc"],
+            preferred_element_type=dtype,
+        )
+        acc_wc = jax.ops.segment_sum(
+            y,
+            a["block_dest_tiles"],
+            num_segments=blk.n_tiles,
+            indices_are_sorted=True,
+        )
+        return (
+            acc_wc[:, : blk.tile].reshape(-1)[:n],
+            acc_wc[:, blk.tile :].reshape(-1)[:n] > 0,
+        )
+    if prog.pallas_delivery is not None:
+        # activity-gated pallas kernel: inactive weight blocks are never
+        # fetched from HBM
+        acc = prog.pallas_delivery(tiles_f, a["block_weights"])
+    else:
+        xs = tiles_f[a["block_src_tiles"]]  # [B, tile] gather
+        y = jnp.einsum(
+            "bi,bij->bj", xs, a["block_weights"],
+            preferred_element_type=dtype,
+        )
+        acc = jax.ops.segment_sum(
+            y,
+            a["block_dest_tiles"],
+            num_segments=blk.n_tiles,
+            indices_are_sorted=True,
+        )
+    buffer_current = acc.reshape(-1)[:n]
+    fired_pad_i8 = (
+        jnp.zeros(blk.n_pad, dtype=jnp.int8).at[:n].set(fired.astype(jnp.int8))
+    )
+    xi = fired_pad_i8.reshape(blk.n_tiles, blk.tile)[a["block_src_tiles"]]
+    cnt = jax.lax.dot_general(
+        xi,
+        a["block_counts"],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    cnt_acc = jax.ops.segment_sum(
+        cnt,
+        a["block_dest_tiles"],
+        num_segments=blk.n_tiles,
+        indices_are_sorted=True,
+    )
+    return buffer_current, cnt_acc.reshape(-1)[:n] > 0
+
+
+def _conv_deliver(prog, a, fired_f, dtype):
+    """Structured conv delivery: one strided convolution per conv2d
+    hyperedge (see ConvSpec / ConvDelivery). Returns (buffer_current [n],
+    any_input [n] bool) covering the conv-generated edges only."""
+    cd = prog.conv_delivery
+    results: dict[str, tuple] = {}
+    for i, entry in enumerate(cd.entries):
+        src_g, dst_g, _, strides, (cin, h, w), (cout, oh, ow) = entry
+        parts = [fired_f[s:e] for s, e in cd.gather_runs[src_g]]
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        x = x.reshape(1, cin, h, w)
+        # kernel is HWIO with an appended all-ones output channel: channel
+        # `cout` is each destination position's arrival count
+        y = jax.lax.conv_general_dilated(
+            x,
+            a[f"conv_kernel_{i}"],
+            window_strides=strides,
+            padding="VALID",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        cur = y[:cout].reshape(-1)
+        cnt = jnp.broadcast_to(y[cout], (cout, oh, ow)).reshape(-1)
+        if dst_g in results:
+            pc, pn = results[dst_g]
+            results[dst_g] = (pc + cur, pn + cnt)
+        else:
+            results[dst_g] = (cur, cnt)
+    pieces_cur = []
+    pieces_cnt = []
+    for g, a0, b0 in cd.out_pieces:
+        if g is None or g not in results:
+            z = jnp.zeros(b0 - a0, dtype=dtype)
+            pieces_cur.append(z)
+            pieces_cnt.append(z)
+        else:
+            pieces_cur.append(results[g][0][a0:b0])
+            pieces_cnt.append(results[g][1][a0:b0])
+    if len(pieces_cur) == 1:
+        return pieces_cur[0], pieces_cnt[0] > 0
+    return jnp.concatenate(pieces_cur), jnp.concatenate(pieces_cnt) > 0
 
 
 def _scatter_delivery(prog, a, c, state, fired, dtype, n):
