@@ -38,6 +38,7 @@ from ._examples import (
     load_loihi,
     load_truenorth,
 )
+from .batch import ParameterSweep, expand_group_values
 from . import data, layers
 
 __version__ = "0.1.0"
@@ -45,6 +46,8 @@ __version__ = "0.1.0"
 __all__ = [
     "Architecture",
     "Attribute",
+    "ParameterSweep",
+    "expand_group_values",
     "BufferPosition",
     "Connection",
     "Conv2DParameters",
