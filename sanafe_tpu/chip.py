@@ -420,6 +420,14 @@ class SpikingChip:
                 self.neuron_processing_wall += (
                     time.perf_counter() - device_start
                 )
+                # Kick off the device->host copies immediately: they enqueue
+                # behind the chunk's compute on the device stream, so the
+                # transfer overlaps the PREVIOUS chunk's host-side sweep
+                # instead of serializing with it at np.asarray() time.
+                for value in outputs.values():
+                    copy_async = getattr(value, "copy_to_host_async", None)
+                    if copy_async is not None:
+                        copy_async()
                 if pending is not None:
                     self._process_chunk_outputs(
                         pending[0], pending[1], pending[2], timing_model, rd,
@@ -561,6 +569,15 @@ class SpikingChip:
         prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
 
         fetch_start = time.perf_counter()
+        if "wire" in outputs:
+            # Consolidated scan outputs: ONE device fetch, then split on
+            # the host (ops/step.py decode_wire).
+            from .ops.step import decode_wire
+
+            wire = np.asarray(outputs["wire"])
+            self.message_processing_wall += time.perf_counter() - fetch_start
+            outputs = decode_wire(wire, outputs["wire_layout"])
+            fetch_start = time.perf_counter()
         if "packed" in outputs:
             # Whole-chunk Pallas path (ops/pallas_chunk.py): ONE fetched
             # buffer carrying on-device counter/energy sums + the packed

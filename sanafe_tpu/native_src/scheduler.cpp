@@ -46,6 +46,10 @@ struct ChipLayout {
     int n_cores = 0;
     int n_axons = 0;
     int n_neurons = 0;
+    // True when every proc_delay >= 0, which makes recv_ts nondecreasing
+    // within each dest core's fleet (recv = max(fin, earliest) and
+    // fin' = recv + proc), so retirement only ever pops fleet FRONTS.
+    bool monotone_recv = true;
     // per-axon (size n_axons)
     std::vector<int32_t> src_slot, src_core, dest_core;
     std::vector<int32_t> src_x, src_y, dest_x, dest_y;
@@ -160,6 +164,16 @@ inline void for_route_links(const ChipLayout &L, int sx, int sy, int dx,
     }
 }
 
+// One tracked in-flight message: the queue coordinates of its Msg plus a
+// cached copy of its receive time (recv_ts is written once at send and
+// never changes, so the cache is always valid; it keeps the retirement
+// walk from chasing a pointer into the queues for every comparison).
+struct FleetEntry {
+    double recv_ts;
+    int32_t core;
+    int32_t idx;
+};
+
 struct NocState {
     std::vector<double> density;
     std::vector<double> core_finished_receiving;
@@ -169,13 +183,20 @@ struct NocState {
     // retirement must scan dest cores 0..C-1 and each list front-to-back
     // (noc_update_all_tracked_messages, src/schedule.cpp:380-400) because
     // the rolling-mean updates are order-sensitive in float64.
-    std::vector<std::vector<std::pair<int32_t, int32_t>>> in_flight;
+    // Each list is consumed from `fleet_head` forward; `nonempty` is a
+    // bitmask of dest cores with live entries so the retirement walk
+    // touches only occupied fleets.
+    std::vector<std::vector<FleetEntry>> in_flight;
+    std::vector<int32_t> fleet_head;
+    std::vector<uint64_t> nonempty;
 
     explicit NocState(const ChipLayout &L)
         : density(static_cast<size_t>(L.noc_w) * L.noc_h * L.links_per_tile,
                   0.0),
           core_finished_receiving(L.n_cores, 0.0),
-          in_flight(L.n_cores) {}
+          in_flight(L.n_cores),
+          fleet_head(L.n_cores, 0),
+          nonempty((L.n_cores + 63) / 64, 0) {}
 };
 
 inline void update_density(const ChipLayout &L, NocState &noc, const Msg &m,
@@ -352,19 +373,54 @@ double sweep_timestep(const ChipLayout &L,
         // shortcut that avoids O(cores) work per event.
         if (m.sent_ts >= retire_lb) {
             double new_lb = kInf;
-            for (auto &fleet : noc.in_flight) {
-                size_t kept = 0;
-                for (size_t k = 0; k < fleet.size(); ++k) {
-                    Msg &rm = queues[fleet[k].first][fleet[k].second];
-                    if (m.sent_ts >= rm.recv_ts) {
-                        update_density(L, noc, rm, false);
-                        update_rolling_mean(noc, rm, false);
+            for (size_t w = 0; w < noc.nonempty.size(); ++w) {
+                uint64_t bits = noc.nonempty[w];
+                while (bits) {
+                    const int core =
+                        static_cast<int>(w * 64) + __builtin_ctzll(bits);
+                    bits &= bits - 1;
+                    auto &fleet = noc.in_flight[core];
+                    int32_t &head = noc.fleet_head[core];
+                    const int32_t size = static_cast<int32_t>(fleet.size());
+                    if (L.monotone_recv) {
+                        // recv_ts is nondecreasing within a fleet: pop
+                        // retirable fronts, stop at the first keeper.
+                        while (head < size &&
+                               m.sent_ts >= fleet[head].recv_ts) {
+                            Msg &rm = queues[fleet[head].core]
+                                            [fleet[head].idx];
+                            update_density(L, noc, rm, false);
+                            update_rolling_mean(noc, rm, false);
+                            ++head;
+                        }
                     } else {
-                        if (rm.recv_ts < new_lb) new_lb = rm.recv_ts;
-                        fleet[kept++] = fleet[k];
+                        // exotic (negative-latency) configs: full scan
+                        // with in-place compaction, preserving order;
+                        // keepers are unsorted so min over all of them
+                        int32_t kept = head;
+                        for (int32_t k = head; k < size; ++k) {
+                            Msg &rm = queues[fleet[k].core][fleet[k].idx];
+                            if (m.sent_ts >= fleet[k].recv_ts) {
+                                update_density(L, noc, rm, false);
+                                update_rolling_mean(noc, rm, false);
+                            } else {
+                                if (fleet[k].recv_ts < new_lb) {
+                                    new_lb = fleet[k].recv_ts;
+                                }
+                                fleet[kept++] = fleet[k];
+                            }
+                        }
+                        fleet.resize(kept);
+                    }
+                    if (head >= static_cast<int32_t>(fleet.size())) {
+                        fleet.clear();
+                        head = 0;
+                        noc.nonempty[w] &= ~(1ull << (core & 63));
+                    } else if (L.monotone_recv &&
+                               fleet[head].recv_ts < new_lb) {
+                        new_lb = fleet[head].recv_ts;
                     }
                 }
-                fleet.resize(kept);
             }
             retire_lb = new_lb;
         }
@@ -399,7 +455,10 @@ double sweep_timestep(const ChipLayout &L,
             if (m.proc_ts > last_ts) last_ts = m.proc_ts;
             update_density(L, noc, m, true);
             update_rolling_mean(noc, m, true);
-            noc.in_flight[m.dest_core].emplace_back(e.core, e.idx);
+            noc.in_flight[m.dest_core].push_back(
+                {m.recv_ts, e.core, e.idx});
+            noc.nonempty[m.dest_core >> 6] |=
+                1ull << (m.dest_core & 63);
             if (m.recv_ts < retire_lb) retire_lb = m.recv_ts;
         }
 
@@ -486,6 +545,13 @@ int64_t sched_create(
     copy64(L->latency_out, axon_latency_out);
     copy64(L->proc_delay, axon_proc_delay);
     copy64(L->min_hop_delay, axon_min_hop_delay);
+    L->monotone_recv = true;
+    for (int32_t a = 0; a < n_axons; ++a) {
+        if (L->proc_delay[a] < 0.0) {
+            L->monotone_recv = false;
+            break;
+        }
+    }
     L->core_slot_lo.assign(core_slot_lo, core_slot_lo + n_cores);
     L->core_slot_hi.assign(core_slot_hi, core_slot_hi + n_cores);
     L->lat_base.assign(neuron_lat_base, neuron_lat_base + n_neurons);

@@ -453,6 +453,8 @@ class DeviceProgram:
         if chunk_len % unroll:
             unroll = 1
 
+        layout_box: dict = {}
+
         @jax.jit
         def run_chunk_inner(arrays, state, t0, feeds):
             ts = t0 + jnp.arange(chunk_len, dtype=jnp.int64)
@@ -461,12 +463,56 @@ class DeviceProgram:
                 t, step_feeds = xs
                 return _timestep(self, arrays, s, t, step_feeds)
 
-            return jax.lax.scan(body, state, (ts, feeds), unroll=unroll)
+            state, outputs = jax.lax.scan(
+                body, state, (ts, feeds), unroll=unroll
+            )
+            # Consolidate every per-step [T, ...] output into ONE uint8
+            # "wire" buffer so the host pays a single device->host
+            # round-trip per chunk (high-latency links charge per tensor).
+            if len(outputs) > 1:
+                parts = []
+                layout = []
+                for key in sorted(outputs):
+                    v = outputs[key]
+                    if v.dtype == jnp.bool_:
+                        b = v.astype(jnp.uint8)
+                    else:
+                        b = jax.lax.bitcast_convert_type(v, jnp.uint8)
+                    b = b.reshape(chunk_len, -1)
+                    layout.append((key, v.shape[1:], np.dtype(v.dtype),
+                                   b.shape[1]))
+                    parts.append(b)
+                layout_box["layout"] = tuple(layout)  # static; set at trace
+                return state, {"wire": jnp.concatenate(parts, axis=1)}
+            return state, outputs
 
         def run_chunk(state, t0, feeds=None):
-            return run_chunk_inner(self.arrays, state, t0, feeds or {})
+            state, outputs = run_chunk_inner(
+                self.arrays, state, t0, feeds or {}
+            )
+            if "wire" in outputs:
+                outputs = dict(outputs)
+                outputs["wire_layout"] = layout_box["layout"]
+            return state, outputs
 
         return run_chunk
+
+
+def decode_wire(buf: np.ndarray, layout) -> dict:
+    """Host-side split of the consolidated per-chunk wire buffer back into
+    the named per-step output arrays (see make_scan)."""
+    out = {}
+    T = buf.shape[0]
+    off = 0
+    for key, shape, dtype, nbytes in layout:
+        seg = np.ascontiguousarray(buf[:, off : off + nbytes])
+        if dtype == np.bool_:
+            arr = seg.astype(bool).reshape((T,) + tuple(shape))
+        else:
+            arr = seg.view(dtype).reshape((T,) + tuple(shape))
+        out[key] = arr
+        off += nbytes
+    return out
 
 
 def make_device_program(

@@ -63,6 +63,11 @@ def pad_compiled(c: CompiledChip, multiple: int) -> CompiledChip:
         return c
 
     out = dataclasses.replace(c)
+    # Structured conv delivery assumes every slot belongs to a group; pad
+    # slots don't, and its run-sliced gathers don't shard cleanly anyway.
+    # Padded (sharded) programs use the block-matmul path instead.
+    out.conv_specs = []
+    out.edge_from_conv = None
 
     def pad_axis(arr: Optional[np.ndarray], new_len: int, fill=0):
         if arr is None:
