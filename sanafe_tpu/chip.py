@@ -977,9 +977,14 @@ class SpikingChip:
 
     def save_state(self, path: str | Path) -> None:
         """Checkpoint the full simulation state (device pytree + timestep
-        counter + RNG stream positions) to an .npz file. The reference has
-        no state snapshotting; here device state is a flat pytree, so
-        checkpoint/resume is natural."""
+        counter) — the reference has no state snapshotting; here device
+        state is a flat pytree, so checkpoint/resume is natural.
+
+        A ``.npz`` path writes a single host-side file (state is gathered
+        to the host first). Any other path is treated as an orbax
+        checkpoint DIRECTORY: shards are written per-device without
+        gathering, which is the multi-host/sharded-mesh path (each process
+        writes only its addressable shards)."""
         if self.compiled is None:
             raise RuntimeError("No network loaded; call load() first")
         state = self._device_state
@@ -988,22 +993,62 @@ class SpikingChip:
             if prog is None:
                 prog = make_device_program(self.compiled)
             state = prog.init_state()
-        arrays = {key: np.asarray(value) for key, value in state.items()}
-        arrays["__total_timesteps__"] = np.int64(self.total_timesteps)
-        np.savez_compressed(path, **arrays)
+        path = Path(path)
+        if path.suffix == ".npz":
+            arrays = {key: np.asarray(value) for key, value in state.items()}
+            arrays["__total_timesteps__"] = np.int64(self.total_timesteps)
+            np.savez_compressed(path, **arrays)
+            return
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                path.absolute(),
+                dict(state, __total_timesteps__=np.int64(
+                    self.total_timesteps
+                )),
+                force=True,
+            )
 
     def load_state(self, path: str | Path) -> None:
-        """Restore a checkpoint written by :meth:`save_state`."""
+        """Restore a checkpoint written by :meth:`save_state`. Orbax
+        checkpoints restore each array with its CURRENT sharding (the one
+        the live device state — or a fresh ``init_state`` — carries), so a
+        sharded chip resumes sharded without a host gather."""
         if self.compiled is None:
             raise RuntimeError("No network loaded; call load() first")
-        with np.load(path) as data:
-            state = {
-                key: jax.numpy.asarray(data[key])
-                for key in data.files
-                if key != "__total_timesteps__"
-            }
-            self.total_timesteps = int(data["__total_timesteps__"])
-        self._device_state = state
+        path = Path(path)
+        if path.suffix == ".npz":
+            with np.load(path) as data:
+                state = {
+                    key: jax.numpy.asarray(data[key])
+                    for key in data.files
+                    if key != "__total_timesteps__"
+                }
+                self.total_timesteps = int(data["__total_timesteps__"])
+            self._device_state = state
+            return
+        import orbax.checkpoint as ocp
+
+        target = self._device_state
+        if target is None:
+            prog = next(iter(self._programs.values()), None)
+            if prog is None:
+                prog = make_device_program(self.compiled)
+            target = prog.init_state()
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if hasattr(x, "sharding")
+            else jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            target,
+        )
+        abstract["__total_timesteps__"] = jax.ShapeDtypeStruct(
+            (), np.dtype(np.int64)
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(path.absolute(), abstract)
+        self.total_timesteps = int(restored.pop("__total_timesteps__"))
+        self._device_state = restored
 
     def get_power(self) -> float:
         """total energy / total simulated time (src/chip.cpp:607-621)."""

@@ -176,6 +176,78 @@ def test_checkpoint_resume(tmp_path):
     assert resumed == direct
 
 
+def test_checkpoint_resume_orbax(tmp_path):
+    """Non-.npz paths use orbax: per-shard directory checkpoints that
+    restore with each array's current sharding (the multi-host path)."""
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chip.sim(5, timing_model="simple", heartbeat=0)
+    chip.save_state(tmp_path / "ckpt_orbax")
+    r_direct = chip.sim(5, timing_model="simple", heartbeat=0,
+                        potential_trace=True)
+    direct = [row for row in r_direct["potential_trace"].data]
+
+    arch2, net2 = sf.load_example()
+    chip2 = sf.SpikingChip(arch2)
+    chip2.load(net2)
+    chip2.load_state(tmp_path / "ckpt_orbax")
+    assert chip2.total_timesteps == 5
+    r_resumed = chip2.sim(5, timing_model="simple", heartbeat=0,
+                          potential_trace=True)
+    resumed = [row for row in r_resumed["potential_trace"].data]
+    assert resumed == direct
+
+
+def test_checkpoint_orbax_sharded(tmp_path):
+    """Sharded device state round-trips through orbax with its
+    NamedSharding intact."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+
+    from sanafe_tpu.parallel import shard_state
+
+    from helpers import build_arch
+    from sanafe_tpu.attributes import Attribute
+
+    arch = build_arch(n_tiles=2, cores_per_tile=2, max_neurons=8)
+    net = sf.Network()
+    group = net.create_neuron_group(
+        "g", 16,
+        sf.NeuronConfiguration(
+            model_attributes={
+                "threshold": Attribute(2.0),
+                "bias": Attribute(1.0),
+                "leak_decay": Attribute(0.9),
+                "reset": Attribute(0.0),
+            }
+        ),
+    )
+    cores = arch.cores()
+    for i, neuron in enumerate(group):
+        neuron.map_to_core(cores[i % 4])
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chip.sim(3, timing_model="simple", heartbeat=0)
+    devices = jax.devices("cpu")[:4]
+    mesh = Mesh(np.array(devices), ("cores",))
+    # shard the live state over the mesh, checkpoint, restore
+    state = chip._device_state
+    chip._device_state = shard_state(state, mesh)
+    chip.save_state(tmp_path / "ckpt_sharded")
+    before = {k: np.asarray(v) for k, v in chip._device_state.items()}
+    chip2 = sf.SpikingChip(arch)
+    chip2.load(net)
+    chip2._device_state = shard_state(
+        {k: jax.numpy.zeros_like(v) for k, v in state.items()}, mesh
+    )
+    chip2.load_state(tmp_path / "ckpt_sharded")
+    for k, v in chip2._device_state.items():
+        assert isinstance(v.sharding, NamedSharding), k
+        assert np.array_equal(np.asarray(v), before[k]), k
+    assert chip2.total_timesteps == 3
+
+
 def test_load_augments_chip():
     """load(net, overwrite=False) maps an extra network onto remaining
     slots while preserving live state (src/chip.cpp:129-184)."""

@@ -89,3 +89,74 @@ def test_pallas_delivery_interpret_matches_einsum():
         expect = np.zeros((block.n_tiles, block.tile))
         np.add.at(expect, np.asarray(block.dest_tiles), np.asarray(y))
         np.testing.assert_allclose(got, expect, rtol=1e-12, atol=0)
+
+
+def test_sharded_conv_chip_matches_conv_path():
+    """A conv-structured chip padded for sharding drops its conv specs
+    (pad slots belong to no group) and must still match the structured
+    conv path exactly through the block-delivery fallback."""
+    from sanafe_tpu import network as netmod
+    from sanafe_tpu.attributes import Attribute
+    from sanafe_tpu.network import Conv2DParameters, NeuronConfiguration
+
+    from helpers import build_arch
+
+    old_threshold = netmod.BULK_EDGE_THRESHOLD
+    netmod.BULK_EDGE_THRESHOLD = 1
+    try:
+        arch = build_arch(n_tiles=2, cores_per_tile=2, max_neurons=128)
+        net = sf.Network()
+        rng = np.random.default_rng(21)
+        g0 = net.create_neuron_group(
+            "g0", 4 * 4 * 2,
+            NeuronConfiguration(
+                model_attributes={
+                    "threshold": Attribute(2.0), "reset": Attribute(0.0),
+                    "bias": Attribute(1.0), "leak_decay": Attribute(1.0),
+                }
+            ),
+        )
+        g1 = net.create_neuron_group(
+            "g1", 2 * 2 * 3,
+            NeuronConfiguration(
+                model_attributes={
+                    "threshold": Attribute(4.0), "reset": Attribute(0.0),
+                    "bias": Attribute(0.0), "leak_decay": Attribute(1.0),
+                }
+            ),
+        )
+        wts = rng.integers(-3, 4, size=3 * 3 * 2 * 3).astype(float)
+        g0.connect_neurons_conv2d(
+            g1, {"weight": [Attribute(float(w)) for w in wts]},
+            Conv2DParameters(
+                input_width=4, input_height=4, input_channels=2,
+                kernel_width=3, kernel_height=3, kernel_count=3,
+            ),
+        )
+        cores = arch.cores()
+        for i, neuron in enumerate(list(g0) + list(g1)):
+            neuron.map_to_core(cores[i % len(cores)])
+        chip = sf.SpikingChip(arch)
+        chip.load(net)
+    finally:
+        netmod.BULK_EDGE_THRESHOLD = old_threshold
+
+    assert chip.compiled.conv_specs
+    prog = make_device_program(chip.compiled)
+    assert prog.conv_delivery is not None
+    baseline = _run_chunk(prog, 10)
+
+    padded = pad_compiled(chip.compiled, multiple=8)
+    assert not padded.conv_specs
+    prog_p = make_device_program(padded)
+    assert prog_p.conv_delivery is None
+    mesh = Mesh(np.array(jax.devices()), ("cores",))
+    with mesh:
+        shard_program(prog_p, mesh)
+        state = shard_state(prog_p.init_state(), mesh)
+        run = prog_p.make_scan(10)
+        state, outputs = run(state, np.int64(1))
+        jax.block_until_ready(outputs)
+    sharded = np.asarray(outputs["stats"], dtype=np.float64)
+    assert np.array_equal(sharded[:, :5], baseline[:, :5])
+    np.testing.assert_allclose(sharded[:, 5:], baseline[:, 5:], rtol=1e-12)
