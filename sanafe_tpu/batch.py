@@ -91,7 +91,14 @@ class ParameterSweep:
     ``conv_kernel_0``) to arrays of shape ``[B, *original.shape]``.
     """
 
-    def __init__(self, chip, overrides: dict, dtype=None):
+    def __init__(self, chip, overrides: dict, dtype=None, mesh=None,
+                 mesh_axis: str = None):
+        """``mesh`` (a ``jax.sharding.Mesh``) shards the SAMPLE axis across
+        devices: each device simulates B/n_devices full chips — the
+        embarrassingly-parallel scale-out for design-space exploration.
+        Shared arrays (connectivity, unbatched parameters) are replicated;
+        only the ``[B, ...]`` overrides and the state split. ``mesh_axis``
+        names the mesh axis to split over (default: the mesh's first)."""
         c = chip.compiled
         if c.has_poisson or (
             c.tn_noise_slots is not None and len(c.tn_noise_slots)
@@ -130,6 +137,24 @@ class ParameterSweep:
             self.arrays[name] = vb
             self.in_axes[name] = 0
         self.batch = B
+        self.mesh = mesh
+        self.mesh_axis = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh_axis or mesh.axis_names[0]
+            self.mesh_axis = axis
+            if B % mesh.shape[axis]:
+                raise ValueError(
+                    f"sample count {B} must divide the mesh axis "
+                    f"{axis!r} ({mesh.shape[axis]} devices)"
+                )
+            split = NamedSharding(mesh, PartitionSpec(axis))
+            repl = NamedSharding(mesh, PartitionSpec())
+            self.arrays = {
+                k: jax.device_put(v, split if self.in_axes[k] == 0 else repl)
+                for k, v in self.arrays.items()
+            }
         self._scan_cache: dict[int, object] = {}
 
     def _make_scan(self, chunk_len: int):
@@ -160,6 +185,13 @@ class ParameterSweep:
         state = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), prog.init_state()
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            split = NamedSharding(self.mesh, PartitionSpec(self.mesh_axis))
+            state = jax.tree.map(
+                lambda x: jax.device_put(x, split), state
+            )
         counters = np.zeros((B, 5), dtype=np.int64)
         energies = np.zeros((B, 6), dtype=np.float64)
         t = 1

@@ -132,3 +132,28 @@ def test_expand_group_values_shapes():
         expand_group_values(
             c, "bias", {"a": np.zeros((2, 3))}  # wrong group width
         )
+
+
+def test_mesh_sharded_sweep_matches_unsharded():
+    """The sample axis shards over the 8-device CPU mesh; results must be
+    identical to the single-device batched run (pure data parallelism)."""
+    import jax
+    from jax.sharding import Mesh
+
+    arch, net, chip = _build()
+    over = expand_group_values(
+        chip.compiled, "threshold",
+        {"a": np.linspace(1.0, 4.0, 8)},
+    )
+    base = ParameterSweep(chip, {"threshold": over}).run(30)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("samples",))
+    sharded = ParameterSweep(chip, {"threshold": over}, mesh=mesh).run(30)
+    for key in ("spikes", "neurons_fired", "packets_sent"):
+        assert np.array_equal(base[key], sharded[key]), key
+    np.testing.assert_allclose(
+        base["energy"]["total"], sharded["energy"]["total"], rtol=1e-12
+    )
+    np.testing.assert_allclose(base["sim_time"], sharded["sim_time"],
+                               rtol=1e-12)
+    with pytest.raises(ValueError):
+        ParameterSweep(chip, {"threshold": over[:5]}, mesh=mesh)
