@@ -463,6 +463,81 @@ def tutorial_5() -> dict:
     ])
 
 
+def tutorial_6() -> dict:
+    return notebook([
+        md(
+            "# Tutorial 6 — Design-Space Exploration #\n\n"
+            "SANA-FE exists to answer questions like *\"what threshold, "
+            "leak, or hardware energy budget should this chip have?\"* — "
+            "questions you answer by simulating many parameterizations of "
+            "the same mapped network. The reference simulator runs one "
+            "configuration per process; this framework batches B parameter "
+            "samples over a leading array axis (`jax.vmap`), so the "
+            "connectivity — the dominant memory traffic — is read once per "
+            "timestep for **all** samples, and a whole sweep runs in one "
+            "device program."
+        ),
+        code(
+            "import numpy as np\n"
+            "import sanafe_tpu as sf\n\n"
+            "arch, snn = sf.load_example()\n"
+            "chip = sf.SpikingChip(arch)\n"
+            "chip.load(snn)\n"
+            "chip.compiled.groups.keys()"
+        ),
+        md(
+            "`expand_group_values` builds a `[B, n_neurons]` override from "
+            "per-group samples: here 16 candidate thresholds for one group, "
+            "every other neuron keeping its compiled value. Any per-neuron "
+            "parameter or hardware-cost column can be overridden the same "
+            "way (`threshold`, `leak_decay`, `bias`, `soma_energy_update`, "
+            "conv filters, ...)."
+        ),
+        code(
+            "group = next(iter(chip.compiled.groups))\n"
+            "candidates = np.linspace(0.5, 4.0, 16)\n"
+            "overrides = sf.expand_group_values(\n"
+            "    chip.compiled, 'threshold', {group: candidates})\n"
+            "sweep = sf.ParameterSweep(chip, {'threshold': overrides})\n"
+            "out = sweep.run(200)\n"
+            "for th, spikes, energy in zip(candidates, out['spikes'],\n"
+            "                              out['energy']['total']):\n"
+            "    print(f'threshold {th:4.2f}: {spikes:4d} spikes, '\n"
+            "          f'{energy:.3e} J')"
+        ),
+        md(
+            "Counters are exactly what B sequential `sim()` calls produce; "
+            "pick a winner and rerun it through `sim()` for detailed NoC "
+            "timing and traces (the sweep uses the simple timing model)."
+        ),
+        code(
+            "best = int(np.argmin(out['energy']['total']))\n"
+            "print('lowest-energy sample:', best,\n"
+            "      'threshold', candidates[best])"
+        ),
+        md(
+            "## Scaling out ##\n\n"
+            "Samples are independent, so multi-chip scale-out is a "
+            "sharding annotation rather than a communication protocol: "
+            "pass a `jax.sharding.Mesh` and the sample axis splits across "
+            "devices (each device simulates `B / n_devices` full chips)."
+        ),
+        code(
+            "import jax\n"
+            "from jax.sharding import Mesh\n\n"
+            "devices = np.array(jax.devices())\n"
+            "if len(devices) > 1 and 16 % len(devices) == 0:\n"
+            "    mesh = Mesh(devices, ('samples',))\n"
+            "    sharded = sf.ParameterSweep(\n"
+            "        chip, {'threshold': overrides}, mesh=mesh).run(200)\n"
+            "    assert np.array_equal(sharded['spikes'], out['spikes'])\n"
+            "    print('sharded sweep matches on', len(devices), 'devices')\n"
+            "else:\n"
+            "    print('single device: skipping the mesh demo')"
+        ),
+    ])
+
+
 def main() -> None:
     TUTORIAL_DIR.mkdir(exist_ok=True)
     examples = TUTORIAL_DIR.parent / "sanafe_tpu" / "examples"
@@ -476,6 +551,7 @@ def main() -> None:
         "tutorial_3_api.ipynb": tutorial_3(),
         "tutorial_4_traces.ipynb": tutorial_4(),
         "tutorial_5_dvs.ipynb": tutorial_5(),
+        "tutorial_6_design_space.ipynb": tutorial_6(),
     }
     for name, nb in notebooks.items():
         path = TUTORIAL_DIR / name
