@@ -110,7 +110,11 @@ class ParameterSweep:
                 "configurations, then sim() the winner."
             )
         self.compiled = c
-        self.prog = make_device_program(c, dtype=dtype)
+        # fuse=False: the fused roll-up / dense-delivery matvec bakes cost
+        # columns and edge weights into its coefficient matrix at build
+        # time, which would silently ignore per-sample overrides of those
+        # arrays (the kernel must read them from `arrays` at run time).
+        self.prog = make_device_program(c, dtype=dtype, fuse=False)
         prog = self.prog
         if not overrides:
             raise ValueError("no overrides given; use SpikingChip.sim()")

@@ -428,10 +428,14 @@ class SpikingChip:
                     copy_async = getattr(value, "copy_to_host_async", None)
                     if copy_async is not None:
                         copy_async()
-                if pending is not None:
+                # Consume `pending` BEFORE processing it: if Ctrl-C lands
+                # inside the host-side sweep, the drain below must not
+                # process (and double-count) the same chunk again.
+                to_process, pending = pending, None
+                if to_process is not None:
                     self._process_chunk_outputs(
-                        pending[0], pending[1], pending[2], timing_model, rd,
-                        heartbeat,
+                        to_process[0], to_process[1], to_process[2],
+                        timing_model, rd, heartbeat,
                     )
                 pending = (outputs, t0, this_chunk)
                 t0 += this_chunk

@@ -162,7 +162,9 @@ def plan_chunk(prog) -> Optional[ChunkPlan]:
     U = np.zeros((npad, m_cols), dtype=f64)  # updated|fired coefficients
     const = np.zeros((1, m_cols), dtype=f64)
 
-    # group 0: stats lanes (ops/step.py build_rollup_matrix rows 0..8)
+    # group 0: stats lanes — KEEP IN SYNC with ops/step.py
+    # build_rollup_matrix rows 0..8 (adding/reordering a stats column
+    # must change both builders and the _timestep fused branches)
     F[:n, 0] = c.neuron_spike_ops
     F[:n, 1] = c.neuron_n_axons
     F[:n, 2] = c.neuron_axon_hops
@@ -614,6 +616,17 @@ def make_pallas_chunk(prog, chunk_len: int, ts_block: int = DEFAULT_TS,
         return None
     ts_block = min(ts_block, chunk_len)
     if chunk_len % ts_block:
+        return None
+    # Counters accumulate on-device in int32 over the whole chunk; bound
+    # the worst case (every neuron fires every step) so sums cannot wrap.
+    c = prog.compiled
+    max_per_step = max(
+        int(np.sum(c.neuron_spike_ops)),
+        int(np.sum(c.neuron_n_axons)),
+        int(np.sum(c.neuron_axon_hops)),
+        c.n_neurons,
+    )
+    if chunk_len * max(max_per_step, 1) >= 2**31:
         return None
     n_blocks = chunk_len // ts_block
     npad = plan.npad

@@ -266,7 +266,9 @@ def build_rollup_matrix(c: CompiledChip):
     ~20 tiny reduction kernels per scan iteration (each paying fixed TPU
     kernel overhead) with a single MXU op.
 
-    Returns (R [2N, K] f64, const [K] f64). Column layout:
+    Returns (R [2N, K] f64, const [K] f64). Column layout (KEEP IN SYNC
+    with ops/pallas_chunk.py plan_chunk, which lays the same stats/latency
+    column groups out at lane-aligned offsets for the whole-chunk kernel):
     0..8  spike_ops, packets, hops, updated, fired, synapse_e, dendrite_e,
           soma_e, network_e   (stats rows 0..8 in this order)
     9..9+C               per-core neuron-processing latency sums
@@ -523,7 +525,13 @@ def make_device_program(
     record_spikes: bool = False,
     record_u: bool = False,
     use_pallas: Optional[bool] = None,
+    fuse: bool = True,
 ) -> DeviceProgram:
+    """``fuse=False`` disables the fused roll-up / dense-delivery matvec,
+    whose coefficient matrix BAKES the per-neuron cost columns and edge
+    weights in at build time — required when a caller (ParameterSweep)
+    overrides those arrays per sample and needs the kernel to read them
+    from ``arrays`` at run time."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     c = compiled
@@ -678,7 +686,8 @@ def make_device_program(
     # float64 parity path keeps the reference's exact accumulation shape.
     n_rollup_cols = 9 + 2 * c.n_cores + len(c.perf_col_names)
     fused_rollup = (
-        dtype == jnp.float32
+        fuse
+        and dtype == jnp.float32
         and c.neuron_proc_lat_core is not None
         and 2 * c.n_neurons * n_rollup_cols * 4 <= (16 << 20)
     )

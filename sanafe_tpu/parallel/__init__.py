@@ -59,15 +59,20 @@ def pad_compiled(c: CompiledChip, multiple: int) -> CompiledChip:
         if n_pad == n:
             n_pad += multiple
 
-    if (n_pad, a_pad, e_pad) == (n, a, e):
+    if (n_pad, a_pad, e_pad) == (n, a, e) and not getattr(
+        c, "conv_specs", None
+    ):
         return c
 
     out = dataclasses.replace(c)
     # Structured conv delivery assumes every slot belongs to a group; pad
     # slots don't, and its run-sliced gathers don't shard cleanly anyway.
-    # Padded (sharded) programs use the block-matmul path instead.
+    # Padded (sharded) programs use the block-matmul path instead — even
+    # when the sizes already divide the mesh and no padding is needed.
     out.conv_specs = []
     out.edge_from_conv = None
+    if (n_pad, a_pad, e_pad) == (n, a, e):
+        return out
 
     def pad_axis(arr: Optional[np.ndarray], new_len: int, fill=0):
         if arr is None:

@@ -69,10 +69,12 @@ class GlibcRand:
 
         if n <= 0:
             return np.zeros(0, dtype=np.uint32)
-        buf = np.empty(31 + n, dtype=np.uint64)
-        buf[:31] = np.asarray(self._r[self._i - 31 : self._i], dtype=np.uint64)
-        filled = 31
-        total = 31 + n
+        # Seed the buffer with 34 history entries (not 31) so the trailing
+        # 34-entry live-state window is full even for n < 3 draws.
+        buf = np.empty(34 + n, dtype=np.uint64)
+        buf[:34] = np.asarray(self._r[self._i - 34 : self._i], dtype=np.uint64)
+        filled = 34
+        total = 34 + n
         while filled < total:
             end = min(filled + 3, total)
             buf[filled:end] = (
@@ -82,7 +84,7 @@ class GlibcRand:
         # retain the trailing window as the live state
         self._r = [int(v) for v in buf[-34:]]
         self._i = 34
-        return (buf[31:] >> np.uint64(1)).astype(np.uint32)
+        return (buf[34:] >> np.uint64(1)).astype(np.uint32)
 
 
 class MT19937:

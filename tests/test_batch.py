@@ -105,6 +105,24 @@ def test_cost_column_override():
     assert soma[1] > soma[0] and soma[2] > soma[1]
 
 
+def test_cost_override_applies_in_float32():
+    """Regression: under the default float32 program the fused roll-up
+    bakes cost columns into its matrix; the sweep must disable fusion so
+    per-sample cost overrides actually take effect."""
+    import jax
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        arch, net, chip = _build()
+        base = np.asarray(chip.compiled.soma_energy_update)
+        over = base[None, :] * np.array([1.0, 4.0])[:, None]
+        out = ParameterSweep(chip, {"soma_energy_update": over}).run(20)
+        soma = out["energy"]["soma"]
+        assert soma[1] > soma[0] * 1.5, soma
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_validation_errors():
     arch, net, chip = _build()
     with pytest.raises(KeyError):
