@@ -89,6 +89,11 @@ class ParameterSweep:
     cost columns of ops/step.py `make_device_program` — e.g. ``threshold``,
     ``leak_decay``, ``bias``, ``soma_energy_update``, or a conv filter
     ``conv_kernel_0``) to arrays of shape ``[B, *original.shape]``.
+
+    Note ``conv_kernel_i`` is the HWIO filter with an appended all-ones
+    output channel (the destination arrival counter driving buffer_valid);
+    when sweeping filter weights, scale ``kernel[..., :-1]`` and leave the
+    last output channel at 1.
     """
 
     def __init__(self, chip, overrides: dict, dtype=None, mesh=None,

@@ -175,3 +175,59 @@ def test_mesh_sharded_sweep_matches_unsharded():
                                rtol=1e-12)
     with pytest.raises(ValueError):
         ParameterSweep(chip, {"threshold": over[:5]}, mesh=mesh)
+
+
+def test_conv_chip_sweep_kernel_override(low_bulk=None):
+    """Sweeping a conv FILTER per sample: vmap over the conv delivery
+    path with a batched kernel operand."""
+    from sanafe_tpu import network as netmod
+
+    old = netmod.BULK_EDGE_THRESHOLD
+    netmod.BULK_EDGE_THRESHOLD = 1
+    try:
+        from sanafe_tpu.network import Conv2DParameters
+
+        arch = build_arch(n_tiles=1, cores_per_tile=2, max_neurons=64)
+        net = sf.Network()
+        g0 = net.create_neuron_group(
+            "g0", 16,
+            sf.NeuronConfiguration(model_attributes={
+                "threshold": Attribute(0.5), "bias": Attribute(1.0),
+                "leak_decay": Attribute(0.0), "reset": Attribute(0.0)}),
+        )
+        g1 = net.create_neuron_group(
+            "g1", 4,
+            sf.NeuronConfiguration(model_attributes={
+                "threshold": Attribute(3.0), "bias": Attribute(0.0),
+                "leak_decay": Attribute(1.0), "reset": Attribute(0.0)}),
+        )
+        g0.connect_neurons_conv2d(
+            g1, {"weight": [Attribute(1.0)] * 9},
+            Conv2DParameters(input_width=4, input_height=4,
+                             input_channels=1, kernel_width=3,
+                             kernel_height=3, kernel_count=1),
+        )
+        cores = arch.cores()
+        for i, nrn in enumerate(list(g0) + list(g1)):
+            nrn.map_to_core(cores[i % 2])
+        chip = sf.SpikingChip(arch)
+        chip.load(net)
+    finally:
+        netmod.BULK_EDGE_THRESHOLD = old
+    assert chip.compiled.conv_specs
+    from sanafe_tpu.ops.step import make_device_program
+
+    prog = make_device_program(chip.compiled, fuse=False)
+    assert prog.conv_delivery is not None
+    # conv_kernel_i is the HWIO filter with an appended all-ones COUNT
+    # output channel (arrival counting); scale only the weight channels
+    base_kernel = np.asarray(prog.arrays["conv_kernel_0"])
+    over = np.stack([base_kernel.copy() for _ in range(3)])
+    for i, s in enumerate((0.0, 1.0, 3.0)):
+        over[i, ..., :-1] *= s
+    out = ParameterSweep(chip, {"conv_kernel_0": over}).run(15)
+    # zeroed weights -> g1 never crosses threshold -> fewer firings
+    assert out["neurons_fired"][0] < out["neurons_fired"][2]
+    # scale 1.0 must match a plain sim
+    r = chip.sim(15, timing_model="simple", heartbeat=0)
+    assert out["neurons_fired"][1] == r["neurons_fired"]
