@@ -336,6 +336,12 @@ double sweep_timestep(const ChipLayout &L,
     double last_ts = 0.0;
     constexpr double kInf = std::numeric_limits<double>::infinity();
     double retire_lb = kInf;  // min recv_ts of any in-flight message
+    // monotone mode: one live (head recv_ts, core) entry per occupied fleet
+    std::priority_queue<std::pair<double, int32_t>,
+                        std::vector<std::pair<double, int32_t>>,
+                        std::greater<>>
+        head_heap;
+    std::vector<int32_t> retire_cores;
 
     auto push_next = [&](int core, const Msg *base) {
         int32_t i = heads[core]++;
@@ -364,39 +370,59 @@ double sweep_timestep(const ChipLayout &L,
                     m.proc_delay);
         }
 
-        // Retire every in-flight message received by now, scanning dest
+        // Retire every in-flight message received by now, visiting dest
         // cores in id order and each list in arrival order — the exact
         // update sequence of noc_update_all_tracked_messages
         // (src/schedule.cpp:380-400); the rolling mean is order-sensitive.
-        // The scan is skipped while no in-flight message can retire
-        // (m.sent_ts below the minimum tracked receive time) — an exact
-        // shortcut that avoids O(cores) work per event.
+        // Monotone mode keeps ONE live (head recv_ts, core) entry per
+        // occupied fleet in a min-heap, so a trigger touches only the
+        // cores that actually retire something instead of every occupied
+        // fleet; the retire set is sorted to preserve core-id order.
         if (m.sent_ts >= retire_lb) {
-            double new_lb = kInf;
-            for (size_t w = 0; w < noc.nonempty.size(); ++w) {
-                uint64_t bits = noc.nonempty[w];
-                while (bits) {
-                    const int core =
-                        static_cast<int>(w * 64) + __builtin_ctzll(bits);
-                    bits &= bits - 1;
+            if (L.monotone_recv) {
+                retire_cores.clear();
+                while (!head_heap.empty() &&
+                       head_heap.top().first <= m.sent_ts) {
+                    retire_cores.push_back(head_heap.top().second);
+                    head_heap.pop();
+                }
+                std::sort(retire_cores.begin(), retire_cores.end());
+                for (const int32_t core : retire_cores) {
                     auto &fleet = noc.in_flight[core];
                     int32_t &head = noc.fleet_head[core];
                     const int32_t size = static_cast<int32_t>(fleet.size());
-                    if (L.monotone_recv) {
-                        // recv_ts is nondecreasing within a fleet: pop
-                        // retirable fronts, stop at the first keeper.
-                        while (head < size &&
-                               m.sent_ts >= fleet[head].recv_ts) {
-                            Msg &rm = queues[fleet[head].core]
-                                            [fleet[head].idx];
-                            update_density(L, noc, rm, false);
-                            update_rolling_mean(noc, rm, false);
-                            ++head;
-                        }
+                    // recv_ts is nondecreasing within a fleet: pop
+                    // retirable fronts, stop at the first keeper.
+                    while (head < size && m.sent_ts >= fleet[head].recv_ts) {
+                        Msg &rm = queues[fleet[head].core][fleet[head].idx];
+                        update_density(L, noc, rm, false);
+                        update_rolling_mean(noc, rm, false);
+                        ++head;
+                    }
+                    if (head >= size) {
+                        fleet.clear();
+                        head = 0;
                     } else {
-                        // exotic (negative-latency) configs: full scan
-                        // with in-place compaction, preserving order;
-                        // keepers are unsorted so min over all of them
+                        head_heap.push({fleet[head].recv_ts, core});
+                    }
+                }
+                retire_lb =
+                    head_heap.empty() ? kInf : head_heap.top().first;
+            } else {
+                // exotic (negative-latency) configs: full scan with
+                // in-place compaction, preserving order; keepers are
+                // unsorted so the new bound is the min over all of them
+                double new_lb = kInf;
+                for (size_t w = 0; w < noc.nonempty.size(); ++w) {
+                    uint64_t bits = noc.nonempty[w];
+                    while (bits) {
+                        const int core =
+                            static_cast<int>(w * 64) + __builtin_ctzll(bits);
+                        bits &= bits - 1;
+                        auto &fleet = noc.in_flight[core];
+                        int32_t &head = noc.fleet_head[core];
+                        const int32_t size =
+                            static_cast<int32_t>(fleet.size());
                         int32_t kept = head;
                         for (int32_t k = head; k < size; ++k) {
                             Msg &rm = queues[fleet[k].core][fleet[k].idx];
@@ -411,27 +437,30 @@ double sweep_timestep(const ChipLayout &L,
                             }
                         }
                         fleet.resize(kept);
-                    }
-                    if (head >= static_cast<int32_t>(fleet.size())) {
-                        fleet.clear();
-                        head = 0;
-                        noc.nonempty[w] &= ~(1ull << (core & 63));
-                    } else if (L.monotone_recv &&
-                               fleet[head].recv_ts < new_lb) {
-                        new_lb = fleet[head].recv_ts;
+                        if (head >= static_cast<int32_t>(fleet.size())) {
+                            fleet.clear();
+                            head = 0;
+                            noc.nonempty[w] &= ~(1ull << (core & 63));
+                        }
                     }
                 }
+                retire_lb = new_lb;
             }
-            retire_lb = new_lb;
         }
 
         if (m.axon >= 0) {
             // schedule_handle_message (src/schedule.cpp:306-358)
             const int32_t a = m.axon;
+            // One pass over the route: read the pre-entry flow AND apply
+            // this message's density contribution (nothing between the
+            // read and the add reads densities, so fusing is exact).
+            const double adj = L.density_adjust[a];
             double flow = 0.0;
             for (int32_t i = L.route_start[a]; i < L.route_start[a + 1];
                  ++i) {
-                flow += noc.density[L.route_links[i]];
+                double &d = noc.density[L.route_links[i]];
+                flow += d;
+                d += adj;
             }
             m.route_density = flow;
             const double path_capacity =
@@ -453,13 +482,21 @@ double sweep_timestep(const ChipLayout &L,
             fin = std::max(fin + m.proc_delay, earliest + m.proc_delay);
             m.proc_ts = fin;
             if (m.proc_ts > last_ts) last_ts = m.proc_ts;
-            update_density(L, noc, m, true);
+            // density already applied in the fused route pass above
             update_rolling_mean(noc, m, true);
-            noc.in_flight[m.dest_core].push_back(
-                {m.recv_ts, e.core, e.idx});
-            noc.nonempty[m.dest_core >> 6] |=
-                1ull << (m.dest_core & 63);
-            if (m.recv_ts < retire_lb) retire_lb = m.recv_ts;
+            auto &fleet = noc.in_flight[m.dest_core];
+            const bool was_empty = fleet.empty();
+            fleet.push_back({m.recv_ts, e.core, e.idx});
+            if (L.monotone_recv) {
+                if (was_empty) {
+                    head_heap.push({m.recv_ts, m.dest_core});
+                    retire_lb = head_heap.top().first;
+                }
+            } else {
+                noc.nonempty[m.dest_core >> 6] |=
+                    1ull << (m.dest_core & 63);
+                if (m.recv_ts < retire_lb) retire_lb = m.recv_ts;
+            }
         }
 
         if (heads[e.core] < static_cast<int32_t>(queues[e.core].size())) {
