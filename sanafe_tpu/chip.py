@@ -16,6 +16,7 @@ equivalent).
 from __future__ import annotations
 
 import jax
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -34,6 +35,7 @@ from .ops.timing import (
     records_from_native,
     schedule_timestep_detailed,
     schedule_timestep_simple_messages,
+    write_message_rows_fast,
 )
 from .trace import (
     MessageTrace,
@@ -708,16 +710,44 @@ class SpikingChip:
                     * c.dendrite_lat_update[None, :]
                 )
                 if timing_model == "detailed" and native is not None:
+                    # When the message trace is stream-only, rows are
+                    # written straight from the native field arrays (no
+                    # per-message Python objects; byte-identical CSV).
+                    msg_state = traces["message"]
+                    fast_stream = (
+                        msg_state.sink.enabled
+                        and msg_state.sink.stream
+                        and msg_state.memory is None
+                        and os.environ.get("SANAFE_FAST_MSG_TRACE", "1")
+                        != "0"
+                    )
+                    sort_perm = None
+                    if fast_stream:
+                        try:
+                            from .native import sort_message_trace_order
+
+                            sort_perm = sort_message_trace_order
+                        except ImportError:
+                            pass
                     detailed_times = np.zeros(length)
                     for i in range(length):
                         sim_t, fields = native.run_timestep_trace(
                             fired_axons[i], gen_latency[i], prog_sync
                         )
                         detailed_times[i] = sim_t
-                        msgs, self._next_mid = records_from_native(
-                            c, fields, t0 + i, getattr(self, "_next_mid", 0)
-                        )
-                        messages_by_step[i] = msgs
+                        if fast_stream:
+                            self._next_mid = write_message_rows_fast(
+                                c, fields, t0 + i,
+                                getattr(self, "_next_mid", 0),
+                                msg_state.sink, sort_perm,
+                            )
+                            messages_by_step[i] = None
+                        else:
+                            msgs, self._next_mid = records_from_native(
+                                c, fields, t0 + i,
+                                getattr(self, "_next_mid", 0),
+                            )
+                            messages_by_step[i] = msgs
                     sim_times = detailed_times
                 else:
                     # pure-Python fallback (exact same algorithm)
@@ -843,6 +873,8 @@ class SpikingChip:
         if message_state.sink.enabled:
             for i in range(length):
                 msgs = messages_by_step[i]
+                if msgs is None:
+                    continue  # already streamed by write_message_rows_fast
                 flat = [m for q in msgs for m in q]
                 # sort by mid, placeholders last (src/message.cpp:70-91);
                 # the reference's std::sort permutes the all-equivalent

@@ -166,6 +166,103 @@ def build_timestep_messages(
     return messages, mid
 
 
+def write_message_rows_fast(
+    compiled: CompiledChip,
+    fields: dict[str, np.ndarray],
+    timestep: int,
+    mid_start: int,
+    sink,
+    sort_perm=None,
+) -> int:
+    """Stream one timestep's messages.csv rows straight from the native
+    scheduler's flat field arrays — byte-identical to the
+    MessageRecord/write_message_row path (same %g formatting and the same
+    libstdc++ sort permutation for placeholder ordering) without building
+    a Python object per message. Returns the next message id.
+
+    Seven of the sixteen columns are per-axon constants; their formatted
+    fragments are cached on the compiled chip.
+    """
+    from ..trace import fmt_g
+
+    c = compiled
+    cache = getattr(c, "_msg_row_cache", None)
+    if cache is None:
+        ax_frag = []
+        minhop_str = []
+        for a in range(len(c.axon_src_slot)):
+            ref = c.neurons[int(c.axon_src_slot[a])]
+            src_core = c.cores[int(c.axon_src_core[a])]
+            ax_frag.append(
+                f"{ref.group_name}.{ref.offset},"
+                f"{src_core.tile_id}.{int(c.axon_src_core_offset[a])},"
+                f"{int(c.axon_dest_tile[a])}."
+                f"{int(c.axon_dest_core_offset[a])},"
+                f"{int(c.axon_hops[a])},{int(c.axon_fanout[a])},"
+            )
+            minhop_str.append(fmt_g(float(c.axon_min_hop_delay[a])))
+        core_frag = []
+        for core in c.cores:
+            if core.neuron_slots:
+                last_ref = c.neurons[core.neuron_slots[-1]]
+                core_frag.append(
+                    f"{last_ref.group_name}.{last_ref.offset},"
+                    f"{core.tile_id}.{core.offset_within_tile},x.x,0,0,"
+                )
+            else:
+                core_frag.append("")
+        cache = (ax_frag, minhop_str, core_frag)
+        c._msg_row_cache = cache
+    ax_frag, minhop_str, core_frag = cache
+
+    axons = fields["axon"].tolist()
+    src_cores = fields["src_core"].tolist()
+    gen = fields["generation_delay"].tolist()
+    procd = fields["processing_delay"].tolist()
+    net = fields["network_delay"].tolist()
+    block = fields["blocking_delay"].tolist()
+    sent = fields["sent_timestamp"].tolist()
+    recv = fields["received_timestamp"].tolist()
+    proc_ts = fields["processed_timestamp"].tolist()
+    route = fields["route_density"].tolist()
+
+    mids = []
+    placeholders = []
+    mid = mid_start
+    for a in axons:
+        if a >= 0:
+            mids.append(mid)
+            mid += 1
+            placeholders.append(False)
+        else:
+            mids.append(-1)
+            placeholders.append(True)
+    if sort_perm is not None:
+        perm = sort_perm(mids, placeholders)
+    else:
+        perm = sorted(
+            range(len(mids)), key=lambda k: (placeholders[k], mids[k])
+        )
+
+    rows = []
+    for k in perm:
+        a = axons[k]
+        if a >= 0:
+            rows.append(
+                f"{timestep},{mids[k]},{ax_frag[a]}"
+                f"{fmt_g(sent[k])},{fmt_g(recv[k])},{fmt_g(proc_ts[k])},"
+                f"{fmt_g(gen[k])},{fmt_g(procd[k])},{fmt_g(net[k])},"
+                f"{fmt_g(block[k])},{minhop_str[a]},{fmt_g(route[k])}\n"
+            )
+        else:
+            rows.append(
+                f"{timestep},-1,{core_frag[src_cores[k]]}"
+                f"{fmt_g(sent[k])},-inf,-inf,{fmt_g(gen[k])},0,0,0,0,0\n"
+            )
+    sink.write("".join(rows))
+    return mid
+
+
 def records_from_native(
     compiled: CompiledChip,
     fields: dict[str, np.ndarray],
