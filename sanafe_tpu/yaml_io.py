@@ -23,9 +23,22 @@ class RawLoader(yaml.SafeLoader):
 # Drop every implicit resolver so scalars stay strings.
 RawLoader.yaml_implicit_resolvers = {}
 
+# libyaml-backed variant (scan/parse in C, ~10x faster on multi-MB nets);
+# resolution still goes through the Python Resolver table, so stripping
+# the implicit resolvers works identically.
+if hasattr(yaml, "CSafeLoader"):
+
+    class RawCLoader(yaml.CSafeLoader):
+        pass
+
+    RawCLoader.yaml_implicit_resolvers = {}
+    _FAST_LOADER: Any = RawCLoader
+else:  # pragma: no cover - libyaml always present in this image
+    _FAST_LOADER = RawLoader
+
 
 def raw_load(stream: IO[str] | str) -> Any:
-    return yaml.load(stream, Loader=RawLoader)
+    return yaml.load(stream, Loader=_FAST_LOADER)
 
 
 def coerce_scalar(value: Any) -> Any:
