@@ -59,3 +59,37 @@ def test_design_patch():
     path.write_text(patched)
     arch = sf.load_arch(path)
     assert arch.core_count == 32
+
+
+def test_demo_truenorth_phasic(tmp_path):
+    """The phasic experiment spikes on input onsets and holds the
+    post-reset saturation floor."""
+    import sanafe_tpu as sf
+    from demo_truenorth import ARCH, PHASIC, PHASIC_EDGES, build
+
+    arch = sf.load_arch(ARCH)
+    net = build(arch, PHASIC, PHASIC_EDGES)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    r = chip.sim(450, timing_model="simple", heartbeat=0, spike_trace=True,
+                 potential_trace=True)
+    spikes = [(a.group_name, t + 1)
+              for t, step in enumerate(r["spike_trace"].data) for a in step]
+    # pacemaker (group 0) fires every 200 ticks; neuron 1 phasic-fires
+    assert ("0", 200) in spikes and ("0", 400) in spikes
+    assert any(g == "1" for g, _ in spikes)
+    pots = np.asarray(r["potential_trace"].data)
+    assert pots.min() == -15.0  # hard reset value reached
+
+
+def test_compress_spiketrain(tmp_path):
+    sys.path.insert(0, str(SCRIPTS.parent))
+    from compress_spiketrain import compress
+
+    src = tmp_path / "spikes.csv"
+    src.write_text("neuron,timestep\n1.3,5\n0.2,1\n1.1,2\n")
+    out = tmp_path / "train.csv"
+    compress(str(src), "1", str(out))
+    rows = out.read_text().strip().splitlines()
+    assert rows[0].split(",") == ["1", "3"]
+    assert rows[1].split(",") == ["2", "5"]
