@@ -122,6 +122,12 @@ def main() -> int:
     ap.add_argument("--dvs", action="store_true",
                     help="also sweep the DVS-gesture workload")
     ap.add_argument("--out", default="dse_results.csv")
+    ap.add_argument(
+        "--params", action="store_true",
+        help="also run a batched hardware-cost sweep on the 128-core "
+             "design (B parameterizations in one device program via "
+             "sanafe_tpu.ParameterSweep)",
+    )
     args = ap.parse_args()
 
     rows = ["workload,cores,compartments,energy,latency,wall_s"]
@@ -167,6 +173,31 @@ def main() -> int:
 
     Path(args.out).write_text("\n".join(rows) + "\n")
     print(f"wrote {args.out}")
+
+    if args.params:
+        # The orthogonal DSE axis: hardware-cost parameterizations of ONE
+        # design, batched over a sample axis so all B candidates share a
+        # single device program (per-step weights are read once for all).
+        with tempfile.TemporaryDirectory() as tmp:
+            workdir = Path(tmp)
+            build_noisy_loihi(workdir)
+            arch = sf.load_arch(workdir / "loihi_noise_patched.yaml")
+            net = latin_square_network(args.n, arch)
+            chip = sf.SpikingChip(arch)
+            chip.load(net)
+            c = chip.compiled
+            B = 16
+            scales = np.linspace(0.25, 4.0, B)
+            base = np.asarray(c.soma_energy_update)
+            sweep = sf.ParameterSweep(
+                chip,
+                {"soma_energy_update": base[None, :] * scales[:, None]},
+            )
+            out = sweep.run(args.steps)
+            print("scale,total_energy,sim_time")
+            for s, e, t in zip(scales, out["energy"]["total"],
+                               out["sim_time"]):
+                print(f"{s:.2f},{e:.6e},{t:.6e}")
     return 0
 
 
