@@ -115,11 +115,18 @@ class ParameterSweep:
                 "configurations, then sim() the winner."
             )
         self.compiled = c
-        # fuse=False: the fused roll-up / dense-delivery matvec bakes cost
-        # columns and edge weights into its coefficient matrix at build
-        # time, which would silently ignore per-sample overrides of those
-        # arrays (the kernel must read them from `arrays` at run time).
-        self.prog = make_device_program(c, dtype=dtype, fuse=False)
+        # The fused roll-up / dense-delivery matvec bakes every cost
+        # column and the edge weights into its coefficient matrix at build
+        # time; overriding one of those arrays per sample would silently
+        # no-op. Pure state-dynamics parameters stay runtime inputs, so
+        # fusion is only disabled when a baked array is swept.
+        dynamics_only = {
+            "threshold", "reverse_threshold", "reset", "reverse_reset",
+            "leak_decay", "input_decay", "bias", "leak",
+            "leak_towards_zero", "refractory_delay", "force_update",
+        }
+        fuse = all(name in dynamics_only for name in overrides)
+        self.prog = make_device_program(c, dtype=dtype, fuse=fuse)
         prog = self.prog
         if not overrides:
             raise ValueError("no overrides given; use SpikingChip.sim()")

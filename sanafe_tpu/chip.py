@@ -509,7 +509,7 @@ class SpikingChip:
                         if run is not None:
                             return run
                         break  # program ineligible; ts_block won't help
-        return prog.make_scan(chunk_len)
+        return prog.make_scan(chunk_len, wire=True)
 
     def _open_traces(
         self,
@@ -1035,7 +1035,14 @@ class SpikingChip:
             arrays["__total_timesteps__"] = np.int64(self.total_timesteps)
             np.savez_compressed(path, **arrays)
             return
-        import orbax.checkpoint as ocp
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError as exc:
+            raise ImportError(
+                "Directory checkpoints need orbax-checkpoint (pip install "
+                "'sanafe-tpu[checkpoint]'); use a .npz path for the "
+                "single-file format."
+            ) from exc
 
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(
@@ -1064,7 +1071,13 @@ class SpikingChip:
                 self.total_timesteps = int(data["__total_timesteps__"])
             self._device_state = state
             return
-        import orbax.checkpoint as ocp
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError as exc:
+            raise ImportError(
+                "Directory checkpoints need orbax-checkpoint (pip install "
+                "'sanafe-tpu[checkpoint]')."
+            ) from exc
 
         target = self._device_state
         if target is None:

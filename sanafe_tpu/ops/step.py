@@ -435,12 +435,22 @@ class DeviceProgram:
                 state[f"plugin_{spec.name}_{var}"] = value
         return state
 
-    def make_scan(self, chunk_len: int, unroll: Optional[int] = None):
+    def make_scan(self, chunk_len: int, unroll: Optional[int] = None,
+                  wire: bool = False):
         """Return a function (state, t0) -> (state', outputs) scanning
         ``chunk_len`` timesteps. Timestep indices are 1-based. The chip
         arrays are passed as jit arguments (not baked-in constants) so large
         connectivity blocks stay device-resident buffers instead of being
-        inlined into the HLO."""
+        inlined into the HLO.
+
+        ``wire=True`` consolidates all per-step outputs into one uint8
+        buffer (+ ``wire_layout`` metadata; split with ``decode_wire``) so
+        a host pays a single device fetch per chunk — used by
+        SpikingChip.sim. The default keeps the named per-step output
+        arrays. Wire packing uses bitcast-convert, which XLA cannot lower
+        for 64-bit element types on TPU, so it is skipped under
+        jax_enable_x64 (the float64 parity path runs on CPU, where
+        transfers are cheap anyway)."""
         if unroll is None:
             # Small fused-path chips are kernel-overhead bound: unrolling
             # the scan amortizes per-iteration loop overhead (~25% win).
@@ -471,7 +481,7 @@ class DeviceProgram:
             # Consolidate every per-step [T, ...] output into ONE uint8
             # "wire" buffer so the host pays a single device->host
             # round-trip per chunk (high-latency links charge per tensor).
-            if len(outputs) > 1:
+            if wire and len(outputs) > 1 and not jax.config.jax_enable_x64:
                 parts = []
                 layout = []
                 for key in sorted(outputs):

@@ -177,7 +177,7 @@ def test_mesh_sharded_sweep_matches_unsharded():
         ParameterSweep(chip, {"threshold": over[:5]}, mesh=mesh)
 
 
-def test_conv_chip_sweep_kernel_override(low_bulk=None):
+def test_conv_chip_sweep_kernel_override():
     """Sweeping a conv FILTER per sample: vmap over the conv delivery
     path with a batched kernel operand."""
     from sanafe_tpu import network as netmod

@@ -436,3 +436,40 @@ def test_keyboard_interrupt_flushes_traces(tmp_path):
     chip._build_feeds = original
     result = chip.sim(10, heartbeat=0)
     assert result["timesteps_executed"] == 10
+
+
+def test_wire_consolidation_roundtrip_f32():
+    """The single-fetch wire buffer (f32 path) must decode to the same
+    traces the float64 named-output path produces."""
+    import jax
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        arch, net = sf.load_example()
+        chip = sf.SpikingChip(arch)
+        chip.load(net)
+        import os
+
+        os.environ["SANAFE_PALLAS_CHUNK"] = "0"  # force the scan+wire path
+        try:
+            r = chip.sim(50, timing_model="detailed", heartbeat=0,
+                         spike_trace=True, potential_trace=True)
+        finally:
+            del os.environ["SANAFE_PALLAS_CHUNK"]
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    arch2, net2 = sf.load_example()
+    chip2 = sf.SpikingChip(arch2)
+    chip2.load(net2)
+    r2 = chip2.sim(50, timing_model="detailed", heartbeat=0,
+                   spike_trace=True, potential_trace=True)
+    assert r["spikes"] == r2["spikes"]
+    assert r["neurons_fired"] == r2["neurons_fired"]
+    a = [[(n.group_name, n.neuron_offset) for n in s]
+         for s in r["spike_trace"].data]
+    b = [[(n.group_name, n.neuron_offset) for n in s]
+         for s in r2["spike_trace"].data]
+    assert a == b
+    pa = np.asarray(r["potential_trace"].data)
+    pb = np.asarray(r2["potential_trace"].data)
+    assert np.allclose(pa, pb, atol=1e-5)
