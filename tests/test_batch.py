@@ -231,3 +231,27 @@ def test_conv_chip_sweep_kernel_override():
     # scale 1.0 must match a plain sim
     r = chip.sim(15, timing_model="simple", heartbeat=0)
     assert out["neurons_fired"][1] == r["neurons_fired"]
+
+
+def test_dynamics_sweep_keeps_fusion_and_matches():
+    """Dynamics-only overrides (threshold) keep the fused roll-up engaged
+    in float32 and still match per-sample sequential runs on counters."""
+    import jax
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        arch, net, chip = _build()
+        thresholds = np.array([1.5, 4.0])
+        over = expand_group_values(
+            chip.compiled, "threshold", {"a": thresholds}
+        )
+        sweep = ParameterSweep(chip, {"threshold": over})
+        assert sweep.prog.fused_rollup  # fusion stays on for dynamics
+        out = sweep.run(25)
+        for i, th in enumerate(thresholds):
+            _, _, chip_i = _build(threshold=float(th))
+            r = chip_i.sim(25, timing_model="simple", heartbeat=0)
+            assert out["spikes"][i] == r["spikes"], th
+            assert out["neurons_fired"][i] == r["neurons_fired"], th
+    finally:
+        jax.config.update("jax_enable_x64", True)
