@@ -196,3 +196,18 @@ def test_dvs_conv_vs_block_exact():
                      spike_trace=True)
     _assert_exact(a, b)
     assert _raster(a) == _raster(b)
+
+
+def test_conv_chip_cycle_timing(low_bulk_threshold):
+    """The flit-level cycle tier consumes the conv path's packed masks;
+    its per-step times must be >= the sync floor and the run must agree
+    with the block path exactly."""
+    arch = build_arch(n_tiles=2, cores_per_tile=2, max_neurons=256)
+    rng = np.random.default_rng(13)
+    net, groups = _build_conv_net(rng, in_w=5, in_h=5)
+    _map_all(arch, groups)
+    a, b = _sim_both(arch, net, timesteps=15, timing_model="cycle",
+                     spike_trace=True)
+    _assert_exact(a, b)
+    assert _raster(a) == _raster(b)
+    assert a["sim_time"] > 0
