@@ -1038,6 +1038,18 @@ class SpikingChip:
         try:
             import orbax.checkpoint as ocp
         except ImportError as exc:
+            if path.suffix == "":
+                # Backward compatibility: a suffix-less path used to mean
+                # np.savez_compressed (which auto-appends .npz); keep that
+                # working when orbax is absent instead of erroring.
+                import warnings
+
+                warnings.warn(
+                    "orbax-checkpoint is not installed; writing "
+                    f"'{path}.npz' instead of an orbax directory"
+                )
+                self.save_state(path.with_suffix(".npz"))
+                return
             raise ImportError(
                 "Directory checkpoints need orbax-checkpoint (pip install "
                 "'sanafe-tpu[checkpoint]'); use a .npz path for the "
@@ -1061,6 +1073,11 @@ class SpikingChip:
         if self.compiled is None:
             raise RuntimeError("No network loaded; call load() first")
         path = Path(path)
+        if path.suffix == "" and not path.is_dir() and (
+            path.with_suffix(".npz").is_file()
+        ):
+            # counterpart of save_state's suffix-less npz fallback
+            path = path.with_suffix(".npz")
         if path.suffix == ".npz":
             with np.load(path) as data:
                 state = {

@@ -403,6 +403,12 @@ double sweep_timestep(const ChipLayout &L,
                         fleet.clear();
                         head = 0;
                     } else {
+                        if (head > 64 && head > size / 2) {
+                            // Bound the retired-slot slack on message-heavy
+                            // timesteps where the fleet never fully drains.
+                            fleet.erase(fleet.begin(), fleet.begin() + head);
+                            head = 0;
+                        }
                         head_heap.push({fleet[head].recv_ts, core});
                     }
                 }

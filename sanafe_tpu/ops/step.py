@@ -231,6 +231,10 @@ def build_conv_delivery(c: CompiledChip) -> Optional[ConvDelivery]:
     )[0]
     starts = np.concatenate([[0], boundary + 1])
     stops = np.concatenate([boundary + 1, [c.n_neurons]])
+    if not (group_of_slot >= 0).all():
+        # A slot outside every compiled group would make names[-1] resolve
+        # to an unrelated group below, silently corrupting delivery.
+        return None
     out_pieces = []
     for a, b in zip(starts, stops):
         name = names[group_of_slot[a]]
