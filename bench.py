@@ -1,72 +1,139 @@
-"""Headline benchmark: simulated timesteps/second, detailed timing model.
+"""Headline benchmark: the north-star workload (BASELINE.json).
 
-Workload matches the reference's CI perf check (`tests/ci/check_perf.rb`):
-`arch/example_chip.yaml` + `snn/example_snn.yaml`, detailed timing. The
-reference baseline is 156.49 s for 100k steps => ~639 timesteps/s
-(tests/ci/perf_baseline.txt). Falls back to an equivalent synthetic chip if
-the reference fixtures are absent.
+Primary metric: simulated timesteps/second on Loihi DVS-gesture
+(arch/loihi.yaml + snn/dvs.yaml, detailed timing, spike trace on), the
+acceptance workload the task's >=100x target is defined on. The baseline
+denominator is the ACTUAL reference binary built offline from
+/root/reference (tools/refbuild/), measured on this host single-thread:
+16.07 timesteps/s detailed / 21.41 simple (marginal rate between 300- and
+900-step runs, `-s` traces on; see README "Performance").
 
-Reports the best of several repetitions: the TPU tunnel used here can stall
-for tens of seconds on one-off fetches (reconnects, executable uploads),
-which says nothing about simulator throughput. Best-of-N is the standard
-way to measure peak throughput under noisy transport.
+Also reported in the same JSON line (extra fields): DVS simple-timing
+throughput and the reference-CI example-chip workload
+(tests/ci/check_perf.rb: 100k steps / 156.49 s => ~639 ts/s).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each workload reports the best of several repetitions: the TPU tunnel used
+here can stall for tens of seconds on one-off fetches (reconnects,
+executable uploads), which says nothing about simulator throughput.
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "extra": {...}}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
-BASELINE_TS_PER_S = 100000.0 / 156.49  # reference CI perf baseline
+# Reference-binary DVS rates measured on this host (tools/refbuild/)
+DVS_DETAILED_BASELINE = 16.07  # timesteps/s, single-thread C++
+DVS_SIMPLE_BASELINE = 21.41
+EXAMPLE_BASELINE = 100000.0 / 156.49  # reference CI perf baseline
 
-REF_ARCH = Path("/root/reference/arch/example_chip.yaml")
-REF_SNN = Path("/root/reference/snn/example_snn.yaml")
+REF = Path("/root/reference")
 
 
-def build_chip():
+def bench_example() -> float:
+    """Reference-CI workload: example_chip + example_snn, detailed."""
     import sanafe_tpu as sf
 
-    if REF_ARCH.exists() and REF_SNN.exists():
-        arch = sf.load_arch(REF_ARCH)
-        net = sf.load_net(REF_SNN, arch)
+    arch_p = REF / "arch" / "example_chip.yaml"
+    snn_p = REF / "snn" / "example_snn.yaml"
+    if arch_p.exists():
+        arch = sf.load_arch(arch_p)
+        net = sf.load_net(snn_p, arch)
         chip = sf.SpikingChip(arch)
         chip.load(net)
-        return chip
-    from __graft_entry__ import _build_chip
+    else:
+        from __graft_entry__ import _build_chip
 
-    return _build_chip()
+        chip = _build_chip()
+    chunk = 262144
+    steps = 2 * chunk
+    chip.sim(chunk, timing_model="detailed", heartbeat=0, chunk=chunk)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chip.sim(steps, timing_model="detailed", heartbeat=0, chunk=chunk)
+        best = max(best, steps / (time.perf_counter() - t0))
+    return best
 
 
-CHUNK = 262144  # amortizes per-chunk host-link latency; compiles in ~10 s
-REPS = 4
+def bench_dvs(timing_model: str, reps: int = 3, steps: int = 1000) -> float:
+    """North-star workload: DVS-gesture with spike trace written to disk
+    (the acceptance config is 1000 steps + spike traces). Detailed timing
+    uses the on-device sweep tier; rasters are unaffected by the timing
+    tier (tests/test_device_sweep.py) and byte-identical to the reference
+    (tests/test_reference_parity.py)."""
+    import sanafe_tpu as sf
+
+    arch = sf.load_arch(REF / "arch" / "loihi.yaml")
+    net = sf.load_net(REF / "snn" / "dvs.yaml", arch)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    chunk = int(os.environ.get("SANAFE_BENCH_DVS_CHUNK", "500"))
+    kwargs = dict(
+        timing_model=timing_model,
+        heartbeat=0,
+        chunk=chunk,
+        device_sweep=timing_model == "detailed",
+    )
+    best = 0.0
+    with tempfile.TemporaryDirectory() as td:
+        # warmup: compiles the chunk program and absorbs the tunnel's
+        # first-fetch stall
+        chip.sim(chunk, spike_trace=str(Path(td) / "warm.csv"), **kwargs)
+        for i in range(reps):
+            trace = str(Path(td) / f"spikes{i}.csv")
+            t0 = time.perf_counter()
+            chip.sim(steps, spike_trace=trace, **kwargs)
+            best = max(best, steps / (time.perf_counter() - t0))
+    return best
 
 
 def main() -> None:
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2 * CHUNK
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    have_dvs = (REF / "snn" / "dvs.yaml").exists()
 
-    chip = build_chip()
-    # warmup compiles the scan at the benched chunk length and absorbs the
-    # tunnel's one-time first-fetch stall
-    chip.sim(CHUNK, timing_model="detailed", heartbeat=0, chunk=CHUNK)
+    extra: dict = {}
+    if which in ("all", "example") or not have_dvs:
+        example = bench_example()
+        extra["example_detailed_ts_per_s"] = round(example, 2)
+        extra["example_vs_baseline"] = round(example / EXAMPLE_BASELINE, 3)
+    if not have_dvs:
+        # no reference fixtures: fall back to the example metric headline
+        print(
+            json.dumps(
+                {
+                    "metric": "timesteps_per_second_detailed_example",
+                    "value": extra["example_detailed_ts_per_s"],
+                    "unit": "timesteps/s",
+                    "vs_baseline": extra["example_vs_baseline"],
+                }
+            )
+        )
+        return
 
-    best = 0.0
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        chip.sim(steps, timing_model="detailed", heartbeat=0, chunk=CHUNK)
-        elapsed = time.perf_counter() - t0
-        best = max(best, steps / elapsed)
+    if which in ("all", "dvs"):
+        simple = bench_dvs("simple")
+        extra["dvs_simple_ts_per_s"] = round(simple, 2)
+        extra["dvs_simple_vs_baseline"] = round(
+            simple / DVS_SIMPLE_BASELINE, 3
+        )
+    detailed = bench_dvs("detailed")
 
     print(
         json.dumps(
             {
-                "metric": "timesteps_per_second_detailed_example",
-                "value": round(best, 2),
+                "metric": "dvs_gesture_detailed_timesteps_per_second",
+                "value": round(detailed, 2),
                 "unit": "timesteps/s",
-                "vs_baseline": round(best / BASELINE_TS_PER_S, 3),
+                "vs_baseline": round(detailed / DVS_DETAILED_BASELINE, 3),
+                "extra": extra,
             }
         )
     )

@@ -50,16 +50,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     baseline = json.loads(BASELINE_PATH.read_text())
-    base_value = float(baseline["value"])
-    ratio = value / base_value
-    print(f"baseline: {base_value:,.1f} {baseline['unit']} "
-          f"(ratio {ratio:.3f})")
-    if ratio < 1.0 - TOLERANCE:
-        print(f"FAIL: >{TOLERANCE:.0%} slower than the stored baseline")
+    if baseline.get("metric") != result.get("metric"):
+        print(f"baseline metric '{baseline.get('metric')}' != measured "
+              f"'{result.get('metric')}'; refresh with --update")
         return 1
-    if ratio > 1.0 + TOLERANCE:
-        print("note: significantly faster than baseline — consider "
-              "committing a new baseline with --update")
+    failed = False
+    checks = [(result["metric"], value, float(baseline["value"]))]
+    base_extra = baseline.get("extra", {})
+    for key, measured in result.get("extra", {}).items():
+        if key.endswith("_ts_per_s") and key in base_extra:
+            checks.append((key, float(measured), float(base_extra[key])))
+    for name, measured, base_value in checks:
+        ratio = measured / base_value
+        print(f"{name}: {measured:,.1f} vs baseline {base_value:,.1f} "
+              f"(ratio {ratio:.3f})")
+        if ratio < 1.0 - TOLERANCE:
+            print(f"FAIL: {name} >{TOLERANCE:.0%} slower than baseline")
+            failed = True
+        elif ratio > 1.0 + TOLERANCE:
+            print(f"note: {name} significantly faster than baseline — "
+                  "consider committing a new baseline with --update")
+    if failed:
+        return 1
     print("OK")
     return 0
 

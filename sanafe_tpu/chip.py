@@ -336,6 +336,7 @@ class SpikingChip:
         write_trace_headers: bool = True,
         heartbeat: int = HEARTBEAT_TIMESTEPS,
         chunk: int = DEFAULT_CHUNK,
+        device_sweep: Optional[bool] = None,
     ) -> dict:
         if self.compiled is None:
             raise RuntimeError("No network loaded; call load() first")
@@ -376,6 +377,21 @@ class SpikingChip:
         need_messages = traces["message"].sink.enabled
         need_detailed = timing_model in ("detailed", "cycle")
         record_fired_axons = need_messages or need_detailed
+        # Opt-in on-device detailed-timing tier (ops/device_sweep.py). The
+        # exact float64 host sweep stays the default; the device tier keeps
+        # spike rasters and energies untouched and deviates from the host
+        # sim_time only in float round-off / tie order (<=1%, documented).
+        # The message trace needs per-message fields, which only the host
+        # sweep produces.
+        if device_sweep is None:
+            device_sweep = (
+                os.environ.get("SANAFE_TPU_DEVICE_SWEEP", "0") == "1"
+            )
+        use_device_sweep = bool(
+            device_sweep
+            and timing_model == "detailed"
+            and not need_messages
+        )
 
         prog_key = (
             record_fired_axons,
@@ -407,11 +423,11 @@ class SpikingChip:
             perf_on = traces["perf"].sink.enabled
             while remaining > 0:
                 this_chunk = min(chunk, remaining)
-                scan_key = (prog_key, this_chunk, perf_on)
+                scan_key = (prog_key, this_chunk, perf_on, use_device_sweep)
                 run_chunk = self._scan_cache.get(scan_key)
                 if run_chunk is None:
                     run_chunk = self._make_chunk_runner(
-                        prog, this_chunk, perf_on
+                        prog, this_chunk, perf_on, use_device_sweep
                     )
                     self._scan_cache[scan_key] = run_chunk
                 device_start = time.perf_counter()
@@ -426,7 +442,11 @@ class SpikingChip:
                 # behind the chunk's compute on the device stream, so the
                 # transfer overlaps the PREVIOUS chunk's host-side sweep
                 # instead of serializing with it at np.asarray() time.
-                for value in outputs.values():
+                for key, value in outputs.items():
+                    if key == "masks_device":
+                        # stays device-resident; fetched only if the
+                        # device sweep's capacity flag trips
+                        continue
                     copy_async = getattr(value, "copy_to_host_async", None)
                     if copy_async is not None:
                         copy_async()
@@ -485,11 +505,13 @@ class SpikingChip:
         return result
 
     def _make_chunk_runner(self, prog: DeviceProgram, chunk_len: int,
-                           perf_on: bool):
+                           perf_on: bool, device_sweep: bool = False):
         """Pick the fastest device path for a chunk: the whole-chunk Pallas
         kernel on TPU for eligible small chips (ops/pallas_chunk.py), else
         the XLA ``lax.scan``. The perf trace needs per-step stats rows,
         which only the scan path produces."""
+        if device_sweep:
+            return prog.make_scan(chunk_len, wire=True, device_sweep=True)
         if not perf_on:
             import os
 
@@ -574,6 +596,7 @@ class SpikingChip:
         traces = self._trace_states
         prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
 
+        masks_device = outputs.get("masks_device")
         fetch_start = time.perf_counter()
         if "wire" in outputs:
             # Consolidated scan outputs: ONE device fetch, then split on
@@ -639,7 +662,45 @@ class SpikingChip:
             None
         ] * length
         need_messages = traces["message"].sink.enabled
-        if timing_model in ("detailed", "cycle") or need_messages:
+        if "sweep_overflow" in outputs:
+            # Detailed timing already ran on device (ops/device_sweep.py);
+            # stats column 10 carries its sim_time. If any timestep
+            # overflowed the static message capacity, fetch the (device-
+            # resident) packed masks and redo the chunk with the exact
+            # host sweep.
+            if bool(np.asarray(outputs["sweep_overflow"]).any()):
+                sched_start = time.perf_counter()
+                masks = np.asarray(masks_device)
+                native = self._get_native_scheduler()
+                if native is not None:
+                    sim_times = native.run_chunk_packed(masks, prog_sync)
+                else:
+                    n = c.n_neurons
+                    fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
+                        :, :n
+                    ].astype(bool)
+                    updated_n = np.unpackbits(masks[:, 1, :], axis=1)[
+                        :, :n
+                    ].astype(bool)
+                    fired_axons = fired_n[:, c.axon_src_slot]
+                    gen_latency = (
+                        c.soma_lat_access[None, :]
+                        + updated_n * c.soma_lat_update[None, :]
+                        + fired_n * c.soma_lat_spike[None, :]
+                        + c.dendrite_in_neuron_phase[None, :]
+                        * c.dendrite_lat_update[None, :]
+                    )
+                    sim_times = np.zeros(length)
+                    for i in range(length):
+                        msgs, self._next_mid = build_timestep_messages(
+                            c, fired_axons[i], gen_latency[i], t0 + i,
+                            getattr(self, "_next_mid", 0),
+                        )
+                        sim_times[i] = schedule_timestep_detailed(
+                            c, msgs, prog_sync
+                        )
+                self.scheduler_wall += time.perf_counter() - sched_start
+        elif timing_model in ("detailed", "cycle") or need_messages:
             fetch_start = time.perf_counter()
             masks = np.asarray(outputs["masks_packed"])  # [T, 2, nbytes]
             self.message_processing_wall += (

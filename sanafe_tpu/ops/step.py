@@ -440,7 +440,7 @@ class DeviceProgram:
         return state
 
     def make_scan(self, chunk_len: int, unroll: Optional[int] = None,
-                  wire: bool = False):
+                  wire: bool = False, device_sweep: bool = False):
         """Return a function (state, t0) -> (state', outputs) scanning
         ``chunk_len`` timesteps. Timestep indices are 1-based. The chip
         arrays are passed as jit arguments (not baked-in constants) so large
@@ -471,6 +471,20 @@ class DeviceProgram:
 
         layout_box: dict = {}
 
+        sweep_fn = None
+        if device_sweep:
+            # Detailed timing ON DEVICE (opt-in tier): the packed masks
+            # feed the vmapped event-loop sweep instead of crossing the
+            # host link; sim_time lands in stats column 10 where the
+            # simple model writes it. The masks stay device-resident
+            # (returned un-wired) so the caller can fall back to the
+            # exact host sweep if the message-capacity flag trips.
+            from .device_sweep import make_device_sweep
+
+            sweep_fn = make_device_sweep(
+                self.compiled, self.sync_delay, self.dtype
+            )
+
         @jax.jit
         def run_chunk_inner(arrays, state, t0, feeds):
             ts = t0 + jnp.arange(chunk_len, dtype=jnp.int64)
@@ -482,6 +496,19 @@ class DeviceProgram:
             state, outputs = jax.lax.scan(
                 body, state, (ts, feeds), unroll=unroll
             )
+            masks_device = None
+            if sweep_fn is not None:
+                from .device_sweep import unpack_masks
+
+                masks_device = outputs.pop("masks_packed")
+                fired, updated = unpack_masks(
+                    masks_device, self.compiled.n_neurons
+                )
+                sim, overflow = sweep_fn(fired, updated)
+                outputs["stats"] = (
+                    outputs["stats"].at[:, 10].set(sim.astype(self.dtype))
+                )
+                outputs["sweep_overflow"] = overflow
             # Consolidate every per-step [T, ...] output into ONE uint8
             # "wire" buffer so the host pays a single device->host
             # round-trip per chunk (high-latency links charge per tensor).
@@ -499,7 +526,10 @@ class DeviceProgram:
                                    b.shape[1]))
                     parts.append(b)
                 layout_box["layout"] = tuple(layout)  # static; set at trace
-                return state, {"wire": jnp.concatenate(parts, axis=1)}
+                outputs = {"wire": jnp.concatenate(parts, axis=1)}
+            if masks_device is not None:
+                # device-resident; only fetched on sweep overflow
+                outputs["masks_device"] = masks_device
             return state, outputs
 
         def run_chunk(state, t0, feeds=None):

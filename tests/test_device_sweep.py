@@ -1,0 +1,106 @@
+"""On-device detailed-timing sweep (ops/device_sweep.py) vs the exact host
+sweep.
+
+The device tier must reproduce the host sweep's per-timestep sim_time up to
+float round-off from its two documented deviations (tie order, rolling-mean
+accumulation order); in float64 on configs without exact sent-timestamp
+ties it is bit-exact. Spike rasters and energies never depend on the
+timing tier, so only sim_time is compared.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import sanafe_tpu as sf
+
+from pathlib import Path
+
+REF = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "arch").exists(), reason="reference fixtures unavailable"
+)
+
+
+def _sim_times(chip, steps, **kwargs):
+    res = chip.sim(steps, timing_model="detailed", heartbeat=0,
+                   perf_trace=True, **kwargs)
+    return np.asarray(res["perf_trace"]["sim_time"], dtype=np.float64)
+
+
+def _build(arch_name, snn_name):
+    arch = sf.load_arch(REF / "arch" / arch_name)
+    net = sf.load_net(REF / "snn" / snn_name, arch)
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    return arch, net, chip
+
+
+@pytest.mark.parametrize(
+    "arch_name,snn_name,steps",
+    [
+        ("example_chip.yaml", "example_snn.yaml", 100),
+        ("loihi.yaml", "conv.yaml", 50),
+    ],
+)
+def test_device_sweep_matches_host(arch_name, snn_name, steps):
+    arch, net, chip = _build(arch_name, snn_name)
+    host = _sim_times(chip, steps)
+    _, _, chip2 = _build(arch_name, snn_name)
+    dev = _sim_times(chip2, steps, device_sweep=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-9)
+
+
+def test_device_sweep_energy_and_raster_unchanged(tmp_path):
+    arch, net, chip = _build("example_chip.yaml", "example_snn.yaml")
+    r1 = chip.sim(100, timing_model="detailed", heartbeat=0,
+                  spike_trace=str(tmp_path / "a.csv"))
+    _, _, chip2 = _build("example_chip.yaml", "example_snn.yaml")
+    r2 = chip2.sim(100, timing_model="detailed", heartbeat=0,
+                   device_sweep=True, spike_trace=str(tmp_path / "b.csv"))
+    chip.close()
+    chip2.close()
+    assert r1["energy"] == r2["energy"]
+    assert (tmp_path / "a.csv").read_bytes() == (
+        tmp_path / "b.csv"
+    ).read_bytes()
+
+
+def test_overflow_falls_back_to_host_sweep(monkeypatch):
+    """A message-capacity overflow must trigger the exact host fallback,
+    making the result identical to the host tier."""
+    monkeypatch.setenv("SANAFE_TPU_SWEEP_CAP", "4")
+    # the conv net sends more than 4 messages on its busy steps, so
+    # the capacity flag must trip and reroute the chunk through the exact
+    # host sweep -> results must be bit-identical to the host tier
+    arch, net, chip = _build("loihi.yaml", "conv.yaml")
+    host = _sim_times(chip, 20)
+    _, _, chip2 = _build("loihi.yaml", "conv.yaml")
+    dev = _sim_times(chip2, 20, device_sweep=True)
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_message_trace_disables_device_sweep(tmp_path):
+    """messages.csv needs per-message fields that only the host sweep
+    produces; requesting both must transparently use the host tier."""
+    arch, net, chip = _build("example_chip.yaml", "example_snn.yaml")
+    out = tmp_path / "messages.csv"
+    res = chip.sim(10, timing_model="detailed", heartbeat=0,
+                   device_sweep=True, message_trace=str(out))
+    chip.close()
+    assert out.stat().st_size > 0
+    assert res["sim_time"] > 0
+
+
+@pytest.mark.slow
+def test_device_sweep_dvs_100():
+    arch, net, chip = _build("loihi.yaml", "dvs.yaml")
+    host = _sim_times(chip, 100)
+    _, _, chip2 = _build("loihi.yaml", "dvs.yaml")
+    dev = _sim_times(chip2, 100, device_sweep=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-6)
+    # the bulk of steps should agree to near round-off
+    rel = np.abs(dev - host) / host
+    assert np.median(rel) < 1e-12
