@@ -392,6 +392,19 @@ class SpikingChip:
             and timing_model == "detailed"
             and not need_messages
         )
+        # Byte-exact perf energy columns (ops/exact_energy.py): active on
+        # the float64 parity path whenever perf rows are produced; the
+        # float32 TPU fast path keeps the fused device sums.
+        self._exact_energy = None
+        if (
+            traces["perf"].sink.enabled
+            and jax.config.jax_enable_x64
+            and os.environ.get("SANAFE_TPU_EXACT_ENERGY", "1") != "0"
+        ):
+            self._exact_energy = self._get_exact_energy()
+        record_fired_axons = (
+            record_fired_axons or self._exact_energy is not None
+        )
 
         prog_key = (
             record_fired_axons,
@@ -597,6 +610,8 @@ class SpikingChip:
         prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
 
         masks_device = outputs.get("masks_device")
+        sim_device = outputs.get("sim_device")
+        sweep_overflow = outputs.get("sweep_overflow")
         fetch_start = time.perf_counter()
         if "wire" in outputs:
             # Consolidated scan outputs: ONE device fetch, then split on
@@ -643,17 +658,42 @@ class SpikingChip:
             counters = np.round(stats[:, :5]).astype(np.int64)
             energies = stats[:, 5:11]
             energy_start = time.perf_counter()
+            exact = getattr(self, "_exact_energy", None)
+            masks_src = outputs.get("masks_packed", masks_device)
+            if exact is not None and masks_src is not None:
+                # Replay the reference's exact float64 accumulation tree
+                # (ops/exact_energy.py) for the perf rows and run totals.
+                masks_np = np.asarray(masks_src)
+                n = c.n_neurons
+                en = exact.chunk(
+                    np.unpackbits(masks_np[:, 0, :], axis=1)[:, :n]
+                    .astype(bool),
+                    np.unpackbits(masks_np[:, 1, :], axis=1)[:, :n]
+                    .astype(bool),
+                )
+                energies = energies.copy()
+                energies[:, :5] = en
             packets_total = int(counters[:, 1].sum())
             rd.spikes += int(counters[:, 0].sum())
             rd.packets_sent += packets_total
             self.total_messages_sent += packets_total
             rd.neurons_updated += int(counters[:, 3].sum())
             rd.neurons_fired += int(counters[:, 4].sum())
-            rd.synapse_energy += float(energies[:, 0].sum())
-            rd.dendrite_energy += float(energies[:, 1].sum())
-            rd.soma_energy += float(energies[:, 2].sum())
-            rd.network_energy += float(energies[:, 3].sum())
-            rd.total_energy += float(energies[:, 4].sum())
+            if exact is not None and masks_src is not None:
+                # RunData accumulates per retired timestep, one float64 add
+                # each (src/chip.cpp:410-438)
+                for t in range(length):
+                    rd.synapse_energy += energies[t, 0]
+                    rd.dendrite_energy += energies[t, 1]
+                    rd.soma_energy += energies[t, 2]
+                    rd.network_energy += energies[t, 3]
+                    rd.total_energy += energies[t, 4]
+            else:
+                rd.synapse_energy += float(energies[:, 0].sum())
+                rd.dendrite_energy += float(energies[:, 1].sum())
+                rd.soma_energy += float(energies[:, 2].sum())
+                rd.network_energy += float(energies[:, 3].sum())
+                rd.total_energy += float(energies[:, 4].sum())
             self.energy_stats_wall += time.perf_counter() - energy_start
 
             # timing model
@@ -662,13 +702,15 @@ class SpikingChip:
             None
         ] * length
         need_messages = traces["message"].sink.enabled
-        if "sweep_overflow" in outputs:
-            # Detailed timing already ran on device (ops/device_sweep.py);
-            # stats column 10 carries its sim_time. If any timestep
-            # overflowed the static message capacity, fetch the (device-
-            # resident) packed masks and redo the chunk with the exact
-            # host sweep.
-            if bool(np.asarray(outputs["sweep_overflow"]).any()):
+        if sweep_overflow is not None:
+            # Detailed timing already ran on device (ops/device_sweep.py).
+            # If any timestep overflowed the static message capacity,
+            # fetch the (device-resident) packed masks and redo the chunk
+            # with the exact host sweep.
+            fetch_start = time.perf_counter()
+            sim_times = np.asarray(sim_device, dtype=np.float64)
+            self.scheduler_wall += time.perf_counter() - fetch_start
+            if bool(np.asarray(sweep_overflow).any()):
                 sched_start = time.perf_counter()
                 masks = np.asarray(masks_device)
                 native = self._get_native_scheduler()
@@ -1029,6 +1071,21 @@ class SpikingChip:
                 col += k
             feeds["poisson"] = spikes
         return feeds
+
+    def _get_exact_energy(self):
+        """Cached ExactEnergyModel for the current compiled chip; None when
+        the configuration is outside the supported (standard) shapes."""
+        cached = getattr(self, "_exact_energy_model", None)
+        if cached is not None and cached[0] is self.compiled:
+            return cached[1]
+        from .ops.exact_energy import ExactEnergyModel, ExactEnergyUnsupported
+
+        try:
+            model = ExactEnergyModel(self.compiled)
+        except ExactEnergyUnsupported:
+            model = None
+        self._exact_energy_model = (self.compiled, model)
+        return model
 
     def _get_native_scheduler(self):
         """Build (once) the C++ detailed-timing scheduler for this chip;

@@ -114,8 +114,71 @@ def get_library() -> ctypes.CDLL:
     lib.sort_message_trace_order.argtypes = [
         ctypes.POINTER(ctypes.c_int64), u8p, ctypes.c_int32, i32p,
     ]
+    lib.serial_keyed_sum_f64.restype = None
+    lib.serial_keyed_sum_f64.argtypes = [f64p, i32p, ctypes.c_int64, f64p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.cycle_noc_run.restype = ctypes.c_int64
+    lib.cycle_noc_run.argtypes = (
+        [ctypes.c_int32] * 8 + [i32p] * 4 + [i64p] * 2 + [i64p]
+    )
     _lib = lib
     return lib
+
+
+def cycle_noc_run(
+    src_router, dest_router, src_core, dest_core, ready_cycle, proc_cycles,
+    width=8, height=4, cores_per_router=4, buffer_size=8, router_delay=2,
+    link_delay=1, n_cores=None,
+):
+    """Run one packet batch through the flit-level cmesh NoC
+    (sanafe_tpu/native_src/cycle_noc.h) and return (last_cycle, done_cycles). Test
+    hook for exact cycle-count validation."""
+    lib = get_library()
+    src_router = _i32(src_router)
+    dest_router = _i32(dest_router)
+    src_core = _i32(src_core)
+    dest_core = _i32(dest_core)
+    ready = np.ascontiguousarray(ready_cycle, dtype=np.int64)
+    proc = np.ascontiguousarray(proc_cycles, dtype=np.int64)
+    n = len(src_router)
+    if n_cores is None:
+        n_cores = int(max(src_core.max(initial=0),
+                          dest_core.max(initial=0))) + 1
+    done = np.empty(n, dtype=np.int64)
+    i64 = ctypes.c_int64
+    last = lib.cycle_noc_run(
+        np.int32(width), np.int32(height), np.int32(cores_per_router),
+        np.int32(buffer_size), np.int32(router_delay), np.int32(link_delay),
+        np.int32(n_cores), np.int32(n),
+        _ptr(src_router, ctypes.c_int32), _ptr(dest_router, ctypes.c_int32),
+        _ptr(src_core, ctypes.c_int32), _ptr(dest_core, ctypes.c_int32),
+        _ptr(ready, i64), _ptr(proc, i64), _ptr(done, i64),
+    )
+    return int(last), done
+
+
+def serial_keyed_sum(values: "np.ndarray", keys: "np.ndarray",
+                     n_keys: int) -> "np.ndarray":
+    """out[k] = sum of values[i] with keys[i]==k, accumulated one float64
+    add per event IN INDEX ORDER (numpy reductions are pairwise and do not
+    reproduce the reference's serial rounding). Keys < 0 are skipped.
+    Falls back to a Python loop when the native library is unavailable."""
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    out = np.zeros(n_keys, dtype=np.float64)
+    try:
+        lib = get_library()
+    except NativeUnavailable:
+        acc = out.tolist()
+        for k, v in zip(keys.tolist(), values.tolist()):
+            if k >= 0:
+                acc[k] += v
+        return np.asarray(acc)
+    lib.serial_keyed_sum_f64(
+        _ptr(values, ctypes.c_double), _ptr(keys, ctypes.c_int32),
+        np.int64(len(values)), _ptr(out, ctypes.c_double),
+    )
+    return out
 
 
 def sort_message_trace_order(mids, placeholders) -> "np.ndarray":

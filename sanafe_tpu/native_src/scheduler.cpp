@@ -833,6 +833,58 @@ int32_t sched_run_timestep_trace(
     return k;
 }
 
+// Direct test entry into the flit-level cmesh model (cycle_noc.h): runs
+// one batch of packets through Network::run with explicit parameters and
+// returns per-packet completion cycles plus the final cycle. Exists so
+// unit tests can pin EXACT cycle counts on hand-analyzable schedules
+// (tests/test_cycle_noc.py) — the validation the Booksim2-backed
+// reference gets from its upstream fork.
+int64_t cycle_noc_run(
+    int32_t width, int32_t height, int32_t cores_per_router,
+    int32_t buffer_size, int32_t router_delay, int32_t link_delay,
+    int32_t n_cores, int32_t n_packets,
+    const int32_t *src_router, const int32_t *dest_router,
+    const int32_t *src_core, const int32_t *dest_core,
+    const int64_t *ready_cycle, const int64_t *proc_cycles,
+    int64_t *done_cycle_out) {
+    cycle_noc::Params params;
+    params.width = width;
+    params.height = height;
+    params.cores_per_router = cores_per_router;
+    params.buffer_size = buffer_size;
+    params.router_delay = router_delay;
+    params.link_delay = link_delay;
+    std::vector<cycle_noc::Packet> packets(n_packets);
+    for (int32_t i = 0; i < n_packets; ++i) {
+        packets[i].src_router = src_router[i];
+        packets[i].dest_router = dest_router[i];
+        packets[i].src_core = src_core[i];
+        packets[i].dest_core = dest_core[i];
+        packets[i].ready_cycle = ready_cycle[i];
+        packets[i].proc_cycles = proc_cycles[i];
+    }
+    cycle_noc::Network network(params, n_cores);
+    const int64_t last = network.run(packets);
+    for (int32_t i = 0; i < n_packets; ++i) {
+        done_cycle_out[i] = packets[i].done_cycle;
+    }
+    return last;
+}
+
+// Order-exact keyed accumulation: out[keys[i]] += values[i] applied in
+// index order, one float64 add per event — the reference's per-unit
+// energy accumulation (PipelineUnit::process, src/pipeline.cpp:101)
+// iterates neurons in slot order, so accumulating per-slot event energies
+// into per-unit bins in slot order reproduces its rounding exactly.
+// Entries with key < 0 are skipped. Caller zeroes `out`.
+void serial_keyed_sum_f64(const double *values, const int32_t *keys,
+                          int64_t n, double *out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t k = keys[i];
+        if (k >= 0) out[k] += values[i];
+    }
+}
+
 // Sort permutation for the message trace, replicating the reference's
 // std::sort over CompareMessagesByID (src/chip.cpp:440-459,
 // src/message.cpp:70-91). std::sort is comparison-based, so sorting an

@@ -471,19 +471,27 @@ class DeviceProgram:
 
         layout_box: dict = {}
 
-        sweep_fn = None
+        sweep_jit = None
         if device_sweep:
             # Detailed timing ON DEVICE (opt-in tier): the packed masks
             # feed the vmapped event-loop sweep instead of crossing the
-            # host link; sim_time lands in stats column 10 where the
-            # simple model writes it. The masks stay device-resident
-            # (returned un-wired) so the caller can fall back to the
-            # exact host sweep if the message-capacity flag trips.
-            from .device_sweep import make_device_sweep
+            # host link. Compiled as its OWN jit and composed with the
+            # scan at the Python level — fusing both into one XLA program
+            # crashes the TPU runtime at DVS scale, and the masks hand-off
+            # stays on device either way. The masks are also returned
+            # un-wired so the caller can fall back to the exact host sweep
+            # if the message-capacity flag trips.
+            from .device_sweep import make_device_sweep, unpack_masks
 
             sweep_fn = make_device_sweep(
                 self.compiled, self.sync_delay, self.dtype
             )
+            n_neurons = self.compiled.n_neurons
+
+            @jax.jit
+            def sweep_jit(masks_packed):
+                fired, updated = unpack_masks(masks_packed, n_neurons)
+                return sweep_fn(fired, updated)
 
         @jax.jit
         def run_chunk_inner(arrays, state, t0, feeds):
@@ -497,18 +505,8 @@ class DeviceProgram:
                 body, state, (ts, feeds), unroll=unroll
             )
             masks_device = None
-            if sweep_fn is not None:
-                from .device_sweep import unpack_masks
-
+            if sweep_jit is not None:
                 masks_device = outputs.pop("masks_packed")
-                fired, updated = unpack_masks(
-                    masks_device, self.compiled.n_neurons
-                )
-                sim, overflow = sweep_fn(fired, updated)
-                outputs["stats"] = (
-                    outputs["stats"].at[:, 10].set(sim.astype(self.dtype))
-                )
-                outputs["sweep_overflow"] = overflow
             # Consolidate every per-step [T, ...] output into ONE uint8
             # "wire" buffer so the host pays a single device->host
             # round-trip per chunk (high-latency links charge per tensor).
@@ -539,6 +537,10 @@ class DeviceProgram:
             if "wire" in outputs:
                 outputs = dict(outputs)
                 outputs["wire_layout"] = layout_box["layout"]
+            if sweep_jit is not None:
+                sim, overflow = sweep_jit(outputs["masks_device"])
+                outputs["sim_device"] = sim
+                outputs["sweep_overflow"] = overflow
             return state, outputs
 
         return run_chunk
