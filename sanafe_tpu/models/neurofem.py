@@ -6,13 +6,22 @@ two double-buffered dendritic compartments (edges route via a
 ``compartment`` attribute, 0 or 1). Compartment sums arrive one step after
 the presynaptic spike, matching the reference's next_* accumulators.
 
-The reference adds ``sigma_v * N(0,1)`` membrane noise seeded from
-``std::random_device`` — nondeterministic across runs even there — so this
-port omits the noise term (equivalent to sigma_v = 0).
+The reference adds ``sigma_v * N(0,1)`` membrane noise drawn from an
+``std::mt19937`` seeded by ``std::random_device``
+(plugins/neurofem.cpp:26-28) — nondeterministic across runs even there.
+This port keeps the noise term but replaces the seed policy with a
+counter-based stream: ``N(0,1)`` samples from a threefry key folded with
+the timestep, so runs are bit-reproducible and resumable (sample t is
+the same whether reached in one sim() call or several). Set
+``SANAFE_TPU_NEUROFEM_SEED`` to change the stream (default 42); the
+distribution, not the sequence, matches the reference.
 """
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from . import register_soma_model
@@ -20,7 +29,8 @@ from . import register_soma_model
 NEUROFEM_ATTRIBUTES = {
     "lambda_v": "(float) Membrane potential leak rate.",
     "lambda_d": "(float) Dendritic current leak rate.",
-    "sigma_v": "(float) Noise amplitude (ignored; see module docstring).",
+    "sigma_v": "(float) Gaussian membrane-noise amplitude (seeded "
+    "stream; see module docstring).",
     "ki": "(float) PID integral gain.",
     "kp": "(float) PID proportional gain.",
     "bias": "(float) Constant input error bias.",
@@ -53,11 +63,19 @@ def neurofem_update(params, state, valid, current, t, comp):
     u_integrated = u_integrated + dt * u_error
 
     v = v - lambda_v * dt * v
+    # seeded, replayable stand-in for the reference's random_device-seeded
+    # mt19937 normal draws (plugins/neurofem.cpp:296-303)
+    seed = int(os.environ.get("SANAFE_TPU_NEUROFEM_SEED", "42"))
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(seed), jnp.asarray(t, jnp.uint32)
+    )
+    noise = jax.random.normal(key, v.shape, dtype=v.dtype)
     v = (
         v
         + dt * params["kp"] * u_error
         + dt * params["ki"] * u_integrated
         + dt * u2
+        + params["sigma_v"] * noise
         - comp1
     )
 

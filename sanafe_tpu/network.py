@@ -628,6 +628,17 @@ class SpikingNetwork:
         src/pymodule.cpp:367-387)."""
         if name in self.groups:
             raise ValueError(f"Group: {name} already exists in SNN.")
+        if isinstance(default_config, dict):
+            # the reference's third positional parameter IS the
+            # model-attributes dict (pymodule.cpp:367-387); its scripts
+            # pass it positionally
+            if model_attributes is not None:
+                raise TypeError(
+                    "model_attributes given both positionally and by "
+                    "keyword"
+                )
+            model_attributes = default_config
+            default_config = None
         if default_config is None:
             attrs = dict(model_attributes or {})
             # reserved keys passed inside model_attributes lift into their

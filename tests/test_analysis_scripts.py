@@ -85,3 +85,45 @@ def test_plot_raster(tmp_path):
     ])
     assert rc == 0
     assert out.stat().st_size > 0
+
+
+def test_misc_dvs_conversion(tmp_path):
+    import numpy as np
+
+    from misc_dvs_conversion import main
+
+    npz = tmp_path / "filters.npz"
+    np.savez(
+        npz,
+        conv1=np.arange(8).reshape(2, 2, 1, 2),
+        conv2=np.ones((2, 2, 2, 1)),
+        inputs=np.array([3, 1, 4]),
+    )
+    out = tmp_path / "out.yaml"
+    rc = main(["snn.yaml", str(npz), str(out)])
+    assert rc == 0
+    import yaml
+
+    doc = yaml.safe_load(out.read_text())
+    edges = doc["network"]["edges"]
+    assert edges[0]["0 -> 1"]["type"] == "conv2d"
+    assert edges[0]["0 -> 1"]["weight"] == list(range(8))
+    assert doc["neurons"][0] == {0: {"bias": 3}}
+
+
+def test_queue_transient(tmp_path):
+    from queue_transient import main
+
+    out = tmp_path / "queue.png"
+    rc = main(["--messages", "50", "--out", str(out)])
+    assert rc == 0
+    assert out.stat().st_size > 0
+
+
+def test_queue_transient_bounded():
+    from queue_transient import simulate
+
+    # 10 arrivals at t=1..10, service takes 100: the 5-slot buffer fills
+    # and stays full (arrivals beyond capacity are dropped)
+    times, sizes = simulate([1.0] * 10, [100.0] * 10, buffer_size=5)
+    assert max(sizes) == 5

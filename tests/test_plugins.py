@@ -253,3 +253,53 @@ def test_hodgkin_huxley_with_cycle_timing():
     times = result["perf_trace"].data["sim_time"]
     assert all(t >= 0 for t in times)
     assert result["sim_time"] > 0
+
+
+def test_neurofem_sigma_v_noise_distribution():
+    """sigma_v adds seeded N(0, sigma_v) membrane noise: with every other
+    dynamic zeroed, per-step potential increments are iid Gaussian, and
+    the stream replays bit-identically for a given seed + timestep
+    (counter-based policy documented in models/neurofem.py; the
+    reference's random_device seeding is nondeterministic)."""
+    import numpy as np
+
+    from sanafe_tpu.models import get_model
+
+    spec = get_model("neurofem")
+    n = 64
+    sigma = 0.25
+    params = {
+        "lambda_v": np.zeros(n), "lambda_d": np.zeros(n),
+        "sigma_v": np.full(n, sigma), "ki": np.zeros(n),
+        "kp": np.zeros(n), "bias": np.zeros(n),
+        "threshold": np.full(n, 1e9), "reset": np.zeros(n),
+        "dt": np.full(n, 1.0),
+    }
+    state = {
+        "potential": np.zeros(n), "u1": np.zeros(n), "u2": np.zeros(n),
+        "u_integrated": np.zeros(n),
+    }
+    comp = np.zeros((n, 2))
+    valid = np.zeros(n, dtype=bool)
+    increments = []
+    v_prev = np.zeros(n)
+    steps = 300
+    for t in range(1, steps + 1):
+        state, fired, updated, v = spec.soma_update(
+            params, state, valid, np.zeros(n), t, comp
+        )
+        v = np.asarray(v)
+        increments.append(v - v_prev)
+        v_prev = v
+    samples = np.concatenate(increments)
+    assert abs(samples.mean()) < 4 * sigma / np.sqrt(samples.size)
+    assert samples.std() == pytest.approx(sigma, rel=0.05)
+    # replayable: the same timestep yields the same draw
+    state2 = {
+        "potential": np.zeros(n), "u1": np.zeros(n), "u2": np.zeros(n),
+        "u_integrated": np.zeros(n),
+    }
+    _, _, _, v2 = spec.soma_update(
+        params, state2, valid, np.zeros(n), 1, comp
+    )
+    np.testing.assert_array_equal(np.asarray(v2), increments[0])

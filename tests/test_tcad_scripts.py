@@ -93,3 +93,40 @@ def test_compress_spiketrain(tmp_path):
     rows = out.read_text().strip().splitlines()
     assert rows[0].split(",") == ["1", "3"]
     assert rows[1].split(",") == ["2", "5"]
+
+
+def test_compare_nemo_network_statistics():
+    """The randomized NeMo workload: full cores, every neuron one
+    outgoing synapse, ~80% of them to a different core."""
+    import sanafe_tpu as sf
+    from compare_nemo_perf import TRUENORTH_COMPARTMENTS, create_nemo_network
+
+    arch = sf.load_arch("/root/reference/arch/truenorth.yaml")
+    net = create_nemo_network(arch, core_count=4, seed=7)
+    group = net.groups["tn"]
+    n = 4 * TRUENORTH_COMPARTMENTS
+    assert len(group.neurons) == n
+    edges = [
+        (src.offset, edge.post_neuron.neuron_offset)
+        for src in group.neurons
+        for edge in src.edges_out
+    ]
+    assert len(edges) == n
+    src = np.array([e[0] for e in edges])
+    dest = np.array([e[1] for e in edges])
+    cross = (src // TRUENORTH_COMPARTMENTS) != (
+        dest // TRUENORTH_COMPARTMENTS
+    )
+    assert 0.7 < cross.mean() < 0.9
+
+
+def test_compare_nemo_end_to_end(tmp_path):
+    from compare_nemo_perf import main
+
+    rc = main([
+        "--out-dir", str(tmp_path), "--core-counts", "4",
+        "--timesteps", "2", "--plot",
+    ])
+    assert rc == 0
+    assert (tmp_path / "compare_sanafe_nemo.csv").exists()
+    assert (tmp_path / "compare_sanafe_nemo.png").stat().st_size > 0
