@@ -220,7 +220,10 @@ def build_conv_delivery(c: CompiledChip) -> Optional[ConvDelivery]:
     # block path and is added on top).
     conv_dests = {e[1] for e in entries}
     group_of_slot = np.full(c.n_neurons, -1, dtype=np.int64)
-    offset_of_slot = np.zeros(c.n_neurons, dtype=np.int64)
+    # unmapped slots (e.g. the inert padding appended by
+    # parallel.pad_compiled) use their own slot index as the offset so a
+    # run of them coalesces into one zero piece
+    offset_of_slot = np.arange(c.n_neurons, dtype=np.int64)
     names = sorted(c.groups)
     for gi, name in enumerate(names):
         slots = np.asarray(c.groups[name])
@@ -231,13 +234,10 @@ def build_conv_delivery(c: CompiledChip) -> Optional[ConvDelivery]:
     )[0]
     starts = np.concatenate([[0], boundary + 1])
     stops = np.concatenate([boundary + 1, [c.n_neurons]])
-    if not (group_of_slot >= 0).all():
-        # A slot outside every compiled group would make names[-1] resolve
-        # to an unrelated group below, silently corrupting delivery.
-        return None
     out_pieces = []
     for a, b in zip(starts, stops):
-        name = names[group_of_slot[a]]
+        gi = group_of_slot[a]
+        name = names[gi] if gi >= 0 else None
         out_pieces.append(
             (
                 name if name in conv_dests else None,

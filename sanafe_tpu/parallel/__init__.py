@@ -25,9 +25,11 @@ zero energy, so every reduction the kernel computes is unchanged.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -59,20 +61,15 @@ def pad_compiled(c: CompiledChip, multiple: int) -> CompiledChip:
         if n_pad == n:
             n_pad += multiple
 
-    if (n_pad, a_pad, e_pad) == (n, a, e) and not getattr(
-        c, "conv_specs", None
-    ):
+    if (n_pad, a_pad, e_pad) == (n, a, e):
         return c
 
     out = dataclasses.replace(c)
-    # Structured conv delivery assumes every slot belongs to a group; pad
-    # slots don't, and its run-sliced gathers don't shard cleanly anyway.
-    # Padded (sharded) programs use the block-matmul path instead — even
-    # when the sizes already divide the mesh and no padding is needed.
-    out.conv_specs = []
-    out.edge_from_conv = None
-    if (n_pad, a_pad, e_pad) == (n, a, e):
-        return out
+    # Conv specs survive padding: the appended slots belong to no group, so
+    # build_conv_delivery emits them as zero pieces and the few-KB filters
+    # replicate across the mesh while the leftover block path shards its
+    # block axis (shard_program) — a sharded DVS keeps ~KB of delivery
+    # state per device instead of ~300 MB of materialized blocks.
 
     def pad_axis(arr: Optional[np.ndarray], new_len: int, fill=0):
         if arr is None:
@@ -161,17 +158,47 @@ def pad_compiled(c: CompiledChip, multiple: int) -> CompiledChip:
 
 def shard_program(prog: DeviceProgram, mesh: Mesh, axis: str = "cores"):
     """Place the program's device arrays with shardings over ``mesh``:
-    neuron/axon/edge axes split along ``axis``, everything else replicated.
-    Returns the same DeviceProgram, mutated in place. ``init_state`` results
-    should be placed with :func:`shard_state` afterwards."""
+    neuron/axon/edge axes split along ``axis``; the block-delivery arrays
+    split along their BLOCK axis (each device owns a slice of the weight
+    blocks and contributes a partial delivery that GSPMD reduce-scatters);
+    the fused roll-up matrix splits along its 2N row axis. Small index /
+    filter arrays replicate. Returns the same DeviceProgram, mutated in
+    place. ``init_state`` results should be placed with
+    :func:`shard_state` afterwards."""
     c = prog.compiled
     split = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    sized = {c.n_neurons, c.n_edges, len(np.asarray(prog.arrays["axon_src_slot"]))}
+    sized = {
+        c.n_neurons,
+        2 * c.n_neurons,  # fused roll-up rows (concat(fired, updated))
+        c.n_edges,
+        len(np.asarray(prog.arrays["axon_src_slot"])),
+    }
+    # block-delivery arrays shard on the block axis — the dominant memory
+    # on dense chips ([B, tile, tile] weights)
+    block_names = {
+        "block_src_tiles", "block_dest_tiles", "block_weights",
+        "block_wc", "block_counts",
+    }
 
+    n_dev = math.prod(mesh.shape.values())
     new_arrays = {}
     for name, arr in prog.arrays.items():
-        if arr.ndim >= 1 and arr.shape[0] in sized and name != "input_trains":
+        if name in block_names:
+            if arr.shape[0] % n_dev == 0:
+                new_arrays[name] = jax.device_put(arr, split)
+            else:
+                # pad inert blocks (src == dest == tile 0, zero weights)
+                # up to the mesh size so the block axis divides
+                pad = (-arr.shape[0]) % n_dev
+                widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                padded = jnp.pad(arr, widths)
+                new_arrays[name] = jax.device_put(padded, split)
+        elif (
+            arr.ndim >= 1
+            and arr.shape[0] in sized
+            and name != "input_trains"
+        ):
             new_arrays[name] = jax.device_put(arr, split)
         else:
             new_arrays[name] = jax.device_put(arr, repl)
