@@ -100,6 +100,11 @@ def build_sweep_tables(c: CompiledChip) -> dict:
     for core in c.cores:
         if core.neuron_slots:
             slot_core_lo[core.neuron_slots] = core.neuron_slots[0]
+    # Only slots that can EMIT a message reset the generation-delay
+    # accumulator (src/chip.cpp:624-654): a fired neuron with no axons
+    # keeps accumulating into the next message / placeholder.
+    slot_has_axon = np.zeros(c.n_neurons, dtype=bool)
+    slot_has_axon[np.asarray(c.axon_src_slot, dtype=np.int64)] = True
 
     tables = {
         "routes": routes,
@@ -125,6 +130,7 @@ def build_sweep_tables(c: CompiledChip) -> dict:
         "core_slot_hi": core_slot_hi,
         "core_ax_start": core_ax_start,
         "slot_core_lo": slot_core_lo,
+        "slot_has_axon": slot_has_axon,
         "buffer_size": float(c.arch.noc_buffer_size),
         "n_axons": n_axons,
     }
@@ -171,6 +177,7 @@ def make_device_sweep(
     core_slot_hi = jnp.asarray(t["core_slot_hi"])
     core_ax_start = jnp.asarray(t["core_ax_start"])
     slot_core_lo = jnp.asarray(t["slot_core_lo"])
+    slot_has_axon = jnp.asarray(t["slot_has_axon"])
     ax_src_core = jnp.asarray(c.axon_src_core, dtype=jnp.int32)
     buffer_size = float(t["buffer_size"])
     n_links = int(t["n_links"])
@@ -192,9 +199,12 @@ def make_device_sweep(
             [jnp.zeros(1, jnp.int32),
              jnp.cumsum(fired_ax.astype(jnp.int32), dtype=jnp.int32)]
         )                                                # exclusive prefix
-        # previous fired slot within the same core (or core_lo - 1)
+        # previous message-emitting slot within the same core (or
+        # core_lo - 1); only fired slots WITH axons emit
         slot_idx = jnp.arange(c.n_neurons, dtype=jnp.int32)
-        marker = jnp.where(fired_n, slot_idx, jnp.int32(-1))
+        marker = jnp.where(
+            fired_n & slot_has_axon, slot_idx, jnp.int32(-1)
+        )
         pf_incl = jax.lax.cummax(marker)
         pf_excl = jnp.concatenate([jnp.full(1, -1, jnp.int32), pf_incl[:-1]])
         prev_eff = jnp.maximum(pf_excl, slot_core_lo - 1)
@@ -386,6 +396,9 @@ def make_device_sweep(
         sim = jax.vmap(sweep_one)(msg_axon, msg_gen, msg_start, msg_end)
         return sim, overflow
 
+    # exposed for tests/debugging
+    sweep_chunk.build_messages = jax.vmap(build_messages)
+    sweep_chunk.sweep_one = jax.vmap(sweep_one)
     return sweep_chunk
 
 

@@ -104,3 +104,27 @@ def test_device_sweep_dvs_100():
     # the bulk of steps should agree to near round-off
     rel = np.abs(dev - host) / host
     assert np.median(rel) < 1e-12
+
+
+def test_device_sweep_stochastic_config():
+    """Regression: a fired neuron WITHOUT axons must not reset the
+    generation-delay accumulator (its latency flows into the next message
+    or the placeholder, src/chip.cpp:624-654)."""
+    import os
+
+    fixtures = Path(__file__).parent / "golden_ref" / "fixtures"
+    prev = os.getcwd()
+    os.chdir(fixtures)  # noise files are cwd-relative
+    try:
+        def run(flag):
+            arch = sf.load_arch(fixtures / "arch_stoch.yaml")
+            net = sf.load_net(fixtures / "snn_stoch.yaml", arch)
+            chip = sf.SpikingChip(arch)
+            chip.load(net)
+            return _sim_times(chip, 100, device_sweep=flag)
+
+        host = run(False)
+        dev = run(True)
+    finally:
+        os.chdir(prev)
+    np.testing.assert_allclose(dev, host, rtol=1e-12)
