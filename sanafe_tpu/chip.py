@@ -878,9 +878,20 @@ class SpikingChip:
         # --- trace writing ---
         spike_state = traces["spike"]
         if spike_state.sink.enabled:
-            spikes_log = np.unpackbits(
-                np.asarray(outputs["spike_log_packed"]), axis=1
-            )[:, : len(c.spike_log_slots)]
+            if "spike_log_packed" in outputs:
+                spikes_log = np.unpackbits(
+                    np.asarray(outputs["spike_log_packed"]), axis=1
+                )[:, : len(c.spike_log_slots)]
+            else:
+                # derived from the fired masks already streamed for the
+                # timing model (ops/step.py skips the separate output)
+                masks_np = (
+                    np.asarray(outputs["masks_packed"])
+                    if "masks_packed" in outputs
+                    else np.asarray(masks_device)
+                )
+                fired_bits = np.unpackbits(masks_np[:, 0, :], axis=1)
+                spikes_log = fired_bits[:, c.spike_log_slots]
             steps_idx, rows_idx = np.nonzero(spikes_log)
             if spike_state.sink.stream and len(rows_idx):
                 labels = self._spike_label_cache()

@@ -72,6 +72,20 @@ struct ChipLayout {
     std::vector<int32_t> route_start;  // size n_axons+1
     std::vector<int32_t> route_links;
     std::vector<double> density_adjust;
+    // Hot per-axon constants packed into one cache line each: the sweep
+    // touches ~6 per-axon arrays per message (each ~1.8 MB at DVS scale,
+    // far beyond L2), so the scattered loads were one cache miss PER
+    // ARRAY; packing makes it one miss per message.
+    struct AxonHot {
+        double proc;      // axon_const_processing_latency
+        double min_hop;   // min hop delay
+        double adj;       // 1/(2+hops)
+        int32_t dest;     // dest core
+        int32_t route_off;
+        int32_t route_len;
+        int32_t path_capacity_hops;  // hops+1 (capacity multiplier)
+    };
+    std::vector<AxonHot> hot;
 };
 
 // MSB-first bit lookup matching numpy packbits/unpackbits layout.
@@ -323,6 +337,256 @@ void build_messages_packed(const ChipLayout &L, const uint8_t *fired_bits,
             q.push_back(m);
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Fast no-trace sweep: same float64 operations in the same order as
+// sweep_timestep below (bit-identical sim_time), but with a
+// cache-friendly layout — 16-byte messages in one flat buffer, packed
+// per-axon constants (ChipLayout::hot), and all scratch reused across
+// the chunk's timesteps instead of reallocated per step. Only valid in
+// monotone mode (proc delays >= 0; checked by the caller).
+
+// The per-axon constants are EMBEDDED at build time: the builder walks
+// axons in ascending order (prefetch-friendly), and the sweep then pops
+// messages in data-dependent order — embedding turns ~4 dependent cache
+// misses per message (msg -> hot -> routes -> fleet) into ~2, with the
+// whole per-step message buffer (~180 KB at DVS scale) L2-resident.
+struct MsgLite {
+    double gen;
+    double proc;
+    double min_hop;
+    double adj;
+    int32_t dest;        // -1 => placeholder
+    int32_t route_off;
+    int32_t route_len;
+    int32_t cap_hops;    // hops+1
+};
+
+// In-flight entry with the retirement-relevant fields embedded, so the
+// retirement walk reads one sequential 32-byte record per retired
+// message instead of chasing an index.
+struct FleetLite {
+    double recv;
+    double proc;
+    double adj;
+    int32_t route_off;
+    int32_t route_len;
+};
+
+// 16-byte event-heap entry (HeapEntry carries a seq the lite
+// comparator never reads); same CmpSentOnly ordering semantics.
+struct LiteEntry {
+    double key;
+    int32_t core;
+    int32_t idx;
+};
+
+struct CmpLite {
+    bool operator()(const LiteEntry &a, const LiteEntry &b) const {
+        return a.key > b.key;
+    }
+};
+
+struct SweepScratch {
+    std::vector<MsgLite> msgs;          // flat, core-major
+    std::vector<int32_t> core_begin;    // size n_cores+1
+    std::vector<double> density;
+    std::vector<double> fin;            // core_finished_receiving
+    std::vector<int32_t> heads;
+    std::vector<LiteEntry> heap;        // manual std::push/pop_heap
+    std::vector<std::vector<FleetLite>> fleets;
+    std::vector<int32_t> fleet_head;
+    std::vector<std::pair<double, int32_t>> head_heap_v;
+    std::vector<int32_t> retire_cores;
+
+    void init(const ChipLayout &L) {
+        if (static_cast<int32_t>(fin.size()) != L.n_cores) {
+            density.assign(
+                static_cast<size_t>(L.noc_w) * L.noc_h * L.links_per_tile,
+                0.0);
+            fin.assign(L.n_cores, 0.0);
+            heads.assign(L.n_cores, 0);
+            fleets.assign(L.n_cores, {});
+            fleet_head.assign(L.n_cores, 0);
+            core_begin.assign(L.n_cores + 1, 0);
+        }
+    }
+};
+
+// Build one timestep's flat message list from the packed masks
+// (bit-identical values to build_messages_packed).
+void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
+                         const uint8_t *updated_bits, SweepScratch &s) {
+    s.msgs.clear();
+    for (int core = 0; core < L.n_cores; ++core) {
+        s.core_begin[core] = static_cast<int32_t>(s.msgs.size());
+        const int32_t lo = L.core_slot_lo[core];
+        const int32_t hi = L.core_slot_hi[core];
+        if (lo < 0) continue;
+        double acc = 0.0;
+        for (int32_t j = lo; j <= hi; ++j) {
+            const bool fired = get_bit(fired_bits, j);
+            double lat = L.lat_base[j];
+            if (get_bit(updated_bits, j)) lat += L.lat_update[j];
+            if (fired) lat += L.lat_spike[j];
+            acc += lat;
+            if (!fired) continue;
+            const int32_t a_begin = L.slot_axon_start[j];
+            const int32_t a_end = L.slot_axon_start[j + 1];
+            for (int32_t a = a_begin; a < a_end; ++a) {
+                const ChipLayout::AxonHot &h = L.hot[a];
+                s.msgs.push_back({acc + L.latency_out[a], h.proc,
+                                  h.min_hop, h.adj, h.dest, h.route_off,
+                                  h.route_len, h.path_capacity_hops});
+                acc = 0.0;
+            }
+        }
+        if (acc != 0.0) {
+            s.msgs.push_back({acc, 0.0, 0.0, 0.0, -1, 0, 0, 0});
+        }
+    }
+    s.core_begin[L.n_cores] = static_cast<int32_t>(s.msgs.size());
+}
+
+double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
+    s.init(L);
+    std::fill(s.density.begin(), s.density.end(), 0.0);
+    std::fill(s.fin.begin(), s.fin.end(), 0.0);
+    const int n_cores = L.n_cores;
+    for (int c = 0; c < n_cores; ++c) {
+        s.heads[c] = s.core_begin[c];
+        s.fleets[c].clear();
+        s.fleet_head[c] = 0;
+    }
+    s.heap.clear();
+    s.head_heap_v.clear();
+    double mean = 0.0;
+    int in_noc = 0;
+    double last_ts = 0.0;
+    constexpr double kInf = std::numeric_limits<double>::infinity();
+    double retire_lb = kInf;
+    const CmpLite cmp{};
+    const std::greater<std::pair<double, int32_t>> hh_cmp{};
+
+    auto push_next = [&](int core, double base) {
+        const int32_t i = s.heads[core]++;
+        const double sent = base + s.msgs[i].gen;
+        s.heap.push_back({sent, static_cast<int32_t>(core), i});
+        std::push_heap(s.heap.begin(), s.heap.end(), cmp);
+        if (sent > last_ts) last_ts = sent;
+        return sent;
+    };
+
+    for (int core = 0; core < n_cores; ++core) {
+        if (s.core_begin[core] < s.core_begin[core + 1]) {
+            push_next(core, 0.0);
+        }
+    }
+
+    while (!s.heap.empty()) {
+        std::pop_heap(s.heap.begin(), s.heap.end(), cmp);
+        const LiteEntry e = s.heap.back();
+        s.heap.pop_back();
+        if (!s.heap.empty()) {
+            // the likely-next message; hides its load latency behind the
+            // current message's processing
+            __builtin_prefetch(&s.msgs[s.heap.front().idx]);
+        }
+        double sent_ts = e.key;
+        if (sent_ts > last_ts) last_ts = sent_ts;
+
+        if (sent_ts >= retire_lb) {
+            s.retire_cores.clear();
+            while (!s.head_heap_v.empty() &&
+                   s.head_heap_v.front().first <= sent_ts) {
+                std::pop_heap(s.head_heap_v.begin(), s.head_heap_v.end(),
+                              hh_cmp);
+                s.retire_cores.push_back(s.head_heap_v.back().second);
+                s.head_heap_v.pop_back();
+            }
+            std::sort(s.retire_cores.begin(), s.retire_cores.end());
+            for (const int32_t core : s.retire_cores) {
+                auto &fleet = s.fleets[core];
+                int32_t &head = s.fleet_head[core];
+                const int32_t size = static_cast<int32_t>(fleet.size());
+                while (head < size && sent_ts >= fleet[head].recv) {
+                    const FleetLite &fe = fleet[head];
+                    const double radj = -fe.adj;
+                    const int32_t *lp = &L.route_links[fe.route_off];
+                    for (int32_t k = 0; k < fe.route_len; ++k) {
+                        s.density[lp[k]] += radj;
+                    }
+                    // update_rolling_mean(exit) inlined
+                    if (in_noc > 1) {
+                        mean += (mean - fe.proc) / (in_noc - 1.0);
+                    } else {
+                        mean = 0.0;
+                    }
+                    in_noc -= 1;
+                    ++head;
+                }
+                if (head >= size) {
+                    fleet.clear();
+                    head = 0;
+                } else {
+                    if (head > 64 && head > size / 2) {
+                        fleet.erase(fleet.begin(), fleet.begin() + head);
+                        head = 0;
+                    }
+                    s.head_heap_v.push_back({fleet[head].recv, core});
+                    std::push_heap(s.head_heap_v.begin(),
+                                   s.head_heap_v.end(), hh_cmp);
+                }
+            }
+            retire_lb =
+                s.head_heap_v.empty() ? kInf : s.head_heap_v.front().first;
+        }
+
+        const MsgLite &m = s.msgs[e.idx];
+        if (m.dest >= 0) {
+            double flow = 0.0;
+            const double adj = m.adj;
+            const int32_t *lp = &L.route_links[m.route_off];
+            for (int32_t k = 0; k < m.route_len; ++k) {
+                double &d = s.density[lp[k]];
+                flow += d;
+                d += adj;
+            }
+            const double path_capacity =
+                static_cast<double>(m.cap_hops) * L.buffer_size;
+            if (flow > path_capacity) {
+                sent_ts += (flow - path_capacity) * mean;
+            }
+            const double congestion =
+                flow * mean / static_cast<double>(m.cap_hops);
+            const double net =
+                (m.min_hop > congestion) ? m.min_hop : congestion;
+            const double earliest = sent_ts + net;
+            double &fin = s.fin[m.dest];
+            const double recv = (fin > earliest) ? fin : earliest;
+            fin = (fin + m.proc > earliest + m.proc) ? fin + m.proc
+                                                     : earliest + m.proc;
+            if (fin > last_ts) last_ts = fin;
+            mean += (m.proc - mean) / (in_noc + 1.0);
+            in_noc += 1;
+            auto &fleet = s.fleets[m.dest];
+            const bool was_empty = fleet.empty();
+            fleet.push_back(
+                {recv, m.proc, m.adj, m.route_off, m.route_len});
+            if (was_empty) {
+                s.head_heap_v.push_back({recv, m.dest});
+                std::push_heap(s.head_heap_v.begin(), s.head_heap_v.end(),
+                               hh_cmp);
+                retire_lb = s.head_heap_v.front().first;
+            }
+        }
+
+        if (s.heads[e.core] < s.core_begin[e.core + 1]) {
+            push_next(e.core, sent_ts);
+        }
+    }
+    return last_ts;
 }
 
 // One timestep's event sweep (src/schedule.cpp:208-292). Returns the final
@@ -633,6 +897,18 @@ int64_t sched_create(
                         [&](int link) { L->route_links[cursor2++] = link; });
     }
 
+    L->hot.resize(n_axons);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        ChipLayout::AxonHot &h = L->hot[a];
+        h.proc = L->proc_delay[a];
+        h.min_hop = L->min_hop_delay[a];
+        h.adj = L->density_adjust[a];
+        h.dest = L->dest_core[a];
+        h.route_off = L->route_start[a];
+        h.route_len = L->route_start[a + 1] - L->route_start[a];
+        h.path_capacity_hops = L->hops[a] + 1;
+    }
+
     // axon ids are slot-major ascending, so a counting pass gives per-slot
     // ranges directly
     L->slot_axon_start.assign(n_neurons + 1, 0);
@@ -716,26 +992,41 @@ int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
         L = g_chips[handle];
     }
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
+    const bool lite = L->monotone_recv;
 #ifdef _OPENMP
     if (n_threads > 0) omp_set_num_threads(n_threads);
 #pragma omp parallel
     {
         std::vector<std::vector<Msg>> queues;
+        SweepScratch scratch;
 #pragma omp for schedule(dynamic)
         for (int32_t t = 0; t < T; ++t) {
             const uint8_t *fired = masks + t * step_stride;
             const uint8_t *updated = fired + mask_bytes;
-            build_messages_packed(*L, fired, updated, queues);
-            sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+            if (lite) {
+                scratch.init(*L);
+                build_messages_lite(*L, fired, updated, scratch);
+                sim_time[t] = sweep_timestep_lite(*L, scratch) + sync_delay;
+            } else {
+                build_messages_packed(*L, fired, updated, queues);
+                sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+            }
         }
     }
 #else
     std::vector<std::vector<Msg>> queues;
+    SweepScratch scratch;
     for (int32_t t = 0; t < T; ++t) {
         const uint8_t *fired = masks + t * step_stride;
         const uint8_t *updated = fired + mask_bytes;
-        build_messages_packed(*L, fired, updated, queues);
-        sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+        if (lite) {
+            scratch.init(*L);
+            build_messages_lite(*L, fired, updated, scratch);
+            sim_time[t] = sweep_timestep_lite(*L, scratch) + sync_delay;
+        } else {
+            build_messages_packed(*L, fired, updated, queues);
+            sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+        }
     }
 #endif
     return 0;

@@ -507,6 +507,17 @@ class DeviceProgram:
             masks_device = None
             if sweep_jit is not None:
                 masks_device = outputs.pop("masks_packed")
+                if self.record_spikes:
+                    # masks stay device-resident in sweep mode, so repack
+                    # the spike log for the wire (cheap bit ops on device)
+                    from .device_sweep import unpack_masks
+
+                    fired_bits, _ = unpack_masks(
+                        masks_device, self.compiled.n_neurons
+                    )
+                    outputs["spike_log_packed"] = jax.vmap(_packbits)(
+                        fired_bits[:, self.arrays["spike_log_slots"]]
+                    )
             # Consolidate every per-step [T, ...] output into ONE uint8
             # "wire" buffer so the host pays a single device->host
             # round-trip per chunk (high-latency links charge per tensor).
@@ -1241,7 +1252,10 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     if opt_perf is not None:
         # optional per-tile/core/unit perf columns (log_energy/log_latency)
         outputs["opt_perf"] = opt_perf
-    if prog.record_spikes:
+    if prog.record_spikes and not prog.record_fired_axons:
+        # when the fired masks are already streamed (detailed timing), the
+        # host derives the spike log from them instead of paying a second
+        # per-step transfer (chip.py _process_chunk_outputs)
         outputs["spike_log_packed"] = _packbits(fired[a["spike_log_slots"]])
     if prog.record_potentials:
         outputs["potential_log"] = potential[a["potential_log_slots"]]
