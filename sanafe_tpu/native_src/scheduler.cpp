@@ -24,6 +24,9 @@
 #include <vector>
 
 #include "cycle_noc.h"
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -399,6 +402,7 @@ struct SweepScratch {
     std::vector<int32_t> fleet_head;
     std::vector<std::pair<double, int32_t>> head_heap_v;
     std::vector<int32_t> retire_cores;
+    std::vector<double> head_recv;
 
     void init(const ChipLayout &L) {
         if (static_cast<int32_t>(fin.size()) != L.n_cores) {
@@ -409,6 +413,8 @@ struct SweepScratch {
             heads.assign(L.n_cores, 0);
             fleets.assign(L.n_cores, {});
             fleet_head.assign(L.n_cores, 0);
+            head_recv.assign((L.n_cores + 7) & ~7,
+                             std::numeric_limits<double>::infinity());
             core_begin.assign(L.n_cores + 1, 0);
         }
     }
@@ -458,19 +464,21 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
         s.heads[c] = s.core_begin[c];
         s.fleets[c].clear();
         s.fleet_head[c] = 0;
+        s.head_recv[c] = std::numeric_limits<double>::infinity();
     }
     s.heap.clear();
-    s.head_heap_v.clear();
     double mean = 0.0;
     int in_noc = 0;
     double last_ts = 0.0;
     constexpr double kInf = std::numeric_limits<double>::infinity();
     double retire_lb = kInf;
     const CmpLite cmp{};
-    const std::greater<std::pair<double, int32_t>> hh_cmp{};
 
     auto push_next = [&](int core, double base) {
         const int32_t i = s.heads[core]++;
+        // the message's route links will be walked when it pops (usually
+        // many iterations from now) -- start the line toward L1 now
+        __builtin_prefetch(&L.route_links[s.msgs[i].route_off]);
         const double sent = base + s.msgs[i].gen;
         s.heap.push_back({sent, static_cast<int32_t>(core), i});
         std::push_heap(s.heap.begin(), s.heap.end(), cmp);
@@ -497,16 +505,12 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
         if (sent_ts > last_ts) last_ts = sent_ts;
 
         if (sent_ts >= retire_lb) {
-            s.retire_cores.clear();
-            while (!s.head_heap_v.empty() &&
-                   s.head_heap_v.front().first <= sent_ts) {
-                std::pop_heap(s.head_heap_v.begin(), s.head_heap_v.end(),
-                              hh_cmp);
-                s.retire_cores.push_back(s.head_heap_v.back().second);
-                s.head_heap_v.pop_back();
-            }
-            std::sort(s.retire_cores.begin(), s.retire_cores.end());
-            for (const int32_t core : s.retire_cores) {
+            // Retire in ascending-core order, fleet (arrival) order within
+            // a core -- the reference's noc_update_all_tracked_messages scan
+            // order. The due-detection pass over the per-core head recv
+            // times runs nearly once per message, so it is vectorized.
+            double *hr = s.head_recv.data();
+            auto drain_core = [&](int core) {
                 auto &fleet = s.fleets[core];
                 int32_t &head = s.fleet_head[core];
                 const int32_t size = static_cast<int32_t>(fleet.size());
@@ -517,7 +521,6 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
                     for (int32_t k = 0; k < fe.route_len; ++k) {
                         s.density[lp[k]] += radj;
                     }
-                    // update_rolling_mean(exit) inlined
                     if (in_noc > 1) {
                         mean += (mean - fe.proc) / (in_noc - 1.0);
                     } else {
@@ -529,18 +532,45 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
                 if (head >= size) {
                     fleet.clear();
                     head = 0;
+                    hr[core] = kInf;
                 } else {
                     if (head > 64 && head > size / 2) {
                         fleet.erase(fleet.begin(), fleet.begin() + head);
                         head = 0;
                     }
-                    s.head_heap_v.push_back({fleet[head].recv, core});
-                    std::push_heap(s.head_heap_v.begin(),
-                                   s.head_heap_v.end(), hh_cmp);
+                    // first to retire next batch: warm its route line
+                    __builtin_prefetch(
+                        &L.route_links[fleet[head].route_off]);
+                    hr[core] = fleet[head].recv;
                 }
+            };
+#if defined(__AVX512F__)
+            const __m512d vts = _mm512_set1_pd(sent_ts);
+            __m512d vmin = _mm512_set1_pd(kInf);
+            const int nb = (n_cores + 7) / 8;
+            for (int b = 0; b < nb; ++b) {
+                __m512d v = _mm512_loadu_pd(hr + 8 * b);
+                __mmask8 due = _mm512_cmp_pd_mask(v, vts, _CMP_LE_OQ);
+                if (due) {
+                    const int base = 8 * b;
+                    do {
+                        const int l = __builtin_ctz(due);
+                        due = static_cast<__mmask8>(due & (due - 1));
+                        drain_core(base + l);
+                    } while (due);
+                    v = _mm512_loadu_pd(hr + 8 * b);
+                }
+                vmin = _mm512_min_pd(vmin, v);
             }
-            retire_lb =
-                s.head_heap_v.empty() ? kInf : s.head_heap_v.front().first;
+            retire_lb = _mm512_reduce_min_pd(vmin);
+#else
+            double new_lb = kInf;
+            for (int core = 0; core < n_cores; ++core) {
+                if (hr[core] <= sent_ts) drain_core(core);
+                if (hr[core] < new_lb) new_lb = hr[core];
+            }
+            retire_lb = new_lb;
+#endif
         }
 
         const MsgLite &m = s.msgs[e.idx];
@@ -575,10 +605,8 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
             fleet.push_back(
                 {recv, m.proc, m.adj, m.route_off, m.route_len});
             if (was_empty) {
-                s.head_heap_v.push_back({recv, m.dest});
-                std::push_heap(s.head_heap_v.begin(), s.head_heap_v.end(),
-                               hh_cmp);
-                retire_lb = s.head_heap_v.front().first;
+                s.head_recv[m.dest] = recv;
+                if (recv < retire_lb) retire_lb = recv;
             }
         }
 
