@@ -9,6 +9,43 @@ Public API parity with ``import sanafe`` (reference ``sanafe/__init__.py``,
 ``src/pymodule.cpp``).
 """
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (DVS-scale chunk programs
+    take minutes to compile on TPU; cached reloads take seconds). Honors
+    an explicit JAX_COMPILATION_CACHE_DIR / jax.config setting; disable
+    with SANAFE_TPU_COMPILATION_CACHE=0."""
+    if _os.environ.get("SANAFE_TPU_COMPILATION_CACHE", "1") == "0":
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache_dir = _os.path.join(
+            _os.environ.get(
+                "XDG_CACHE_HOME",
+                _os.path.join(_os.path.expanduser("~"), ".cache"),
+            ),
+            "sanafe_tpu",
+            "jax_cache",
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Only persist expensive compilations: small CPU programs reload
+        # as AOT blobs whose feature stamps trip noisy XLA warnings, and
+        # they recompile in well under a second anyway.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_enable_compilation_cache()
+
 from .arch import (
     Architecture,
     BufferPosition,

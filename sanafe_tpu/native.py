@@ -121,8 +121,56 @@ def get_library() -> ctypes.CDLL:
     lib.cycle_noc_run.argtypes = (
         [ctypes.c_int32] * 8 + [i32p] * 4 + [i64p] * 2 + [i64p]
     )
+    lib.format_spike_rows.restype = ctypes.c_int64
+    lib.format_spike_rows.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, i32p,
+        ctypes.c_int32, u8p, i64p, u8p, ctypes.c_int64,
+    ]
+    lib.count_mask_bits.restype = ctypes.c_int64
+    lib.count_mask_bits.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    ]
     _lib = lib
     return lib
+
+
+def format_spike_rows(
+    packed_bits: "np.ndarray",
+    row_stride: int,
+    n_bytes: int,
+    t0: int,
+    bit_of_label: "np.ndarray",
+    blob: bytes,
+    label_off: "np.ndarray",
+    max_row_bytes: int,
+) -> Optional[str]:
+    """spikes.csv rows ("label,timestep\\n") formatted in C from bit-packed
+    fired masks (numpy packbits MSB-first layout), replacing the ~1 us/row
+    Python f-string loop. `packed_bits` must be C-contiguous with one
+    timestep's fired bits every `row_stride` bytes; label j fires when bit
+    `bit_of_label[j]` of its row is set. Returns the CSV text ("" when no
+    rows), or None if the native library is unavailable."""
+    lib = get_library()
+    T = packed_bits.shape[0]
+    base = packed_bits.reshape(-1).view(np.uint8)
+    count = lib.count_mask_bits(
+        _ptr(base, ctypes.c_uint8), np.int64(row_stride), np.int32(T),
+        np.int32(n_bytes),
+    )
+    if count == 0:
+        return ""
+    out = np.empty(int(count) * max_row_bytes, dtype=np.uint8)
+    blob_arr = np.frombuffer(blob, dtype=np.uint8)
+    n = lib.format_spike_rows(
+        _ptr(base, ctypes.c_uint8), np.int64(row_stride), np.int32(T),
+        np.int64(t0), _ptr(bit_of_label, ctypes.c_int32),
+        np.int32(len(bit_of_label)), _ptr(blob_arr, ctypes.c_uint8),
+        label_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _ptr(out, ctypes.c_uint8), np.int64(len(out)),
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes().decode("utf-8")
 
 
 def cycle_noc_run(

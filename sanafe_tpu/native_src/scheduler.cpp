@@ -1228,4 +1228,65 @@ int32_t sort_message_trace_order(const int64_t *mids,
     return 0;
 }
 
+// Format spikes.csv rows ("<label>,<timestep>\n") straight from the
+// device's bit-packed fired masks. The Python f-string path costs ~1 us
+// per row, which dominates the host loop at DVS scale (~365 rows/step);
+// this loop is ~30 ns/row. Row order matches the numpy path: timestep
+// ascending, then label (slot-list) order. `bits` holds T rows of packed
+// fired bits (numpy packbits MSB-first layout) spaced `row_stride` bytes
+// apart; label j tests bit `bit_of_label[j]` and copies
+// blob[label_off[j] : label_off[j+1]]. Returns bytes written, or -1 if
+// `cap` would overflow (caller falls back to the Python path).
+int64_t format_spike_rows(const uint8_t *bits, int64_t row_stride,
+                          int32_t T, int64_t t0,
+                          const int32_t *bit_of_label, int32_t n_labels,
+                          const uint8_t *blob, const int64_t *label_off,
+                          uint8_t *out, int64_t cap) {
+    int64_t pos = 0;
+    char dec[24];
+    for (int32_t t = 0; t < T; ++t) {
+        const uint8_t *row = bits + t * row_stride;
+        // decimal of (t0 + t), rendered once per timestep
+        int64_t v = t0 + t;
+        int dec_len = 0;
+        do {
+            dec[dec_len++] = static_cast<char>('0' + (v % 10));
+            v /= 10;
+        } while (v != 0);
+        for (int32_t j = 0; j < n_labels; ++j) {
+            const int32_t b = bit_of_label[j];
+            if (!(row[b >> 3] & (0x80u >> (b & 7)))) continue;
+            const int64_t lo = label_off[j];
+            const int64_t len = label_off[j + 1] - lo;
+            if (pos + len + dec_len + 2 > cap) return -1;
+            std::memcpy(out + pos, blob + lo, static_cast<size_t>(len));
+            pos += len;
+            out[pos++] = ',';
+            for (int d = dec_len - 1; d >= 0; --d) out[pos++] = dec[d];
+            out[pos++] = '\n';
+        }
+    }
+    return pos;
+}
+
+// Total set bits across T packed rows (row_stride-spaced, n_bytes wide):
+// a cheap upper bound on the number of spike rows for buffer sizing.
+int64_t count_mask_bits(const uint8_t *bits, int64_t row_stride, int32_t T,
+                        int32_t n_bytes) {
+    int64_t total = 0;
+    for (int32_t t = 0; t < T; ++t) {
+        const uint8_t *row = bits + t * row_stride;
+        int32_t i = 0;
+        for (; i + 8 <= n_bytes; i += 8) {
+            uint64_t w;
+            std::memcpy(&w, row + i, 8);
+            total += __builtin_popcountll(w);
+        }
+        for (; i < n_bytes; ++i) {
+            total += __builtin_popcount(row[i]);
+        }
+    }
+    return total;
+}
+
 }  // extern "C"
