@@ -12,9 +12,12 @@ Also reported in the same JSON line (extra fields): DVS simple-timing
 throughput and the reference-CI example-chip workload
 (tests/ci/check_perf.rb: 100k steps / 156.49 s => ~639 ts/s).
 
-Each workload reports the best of several repetitions: the TPU tunnel used
-here can stall for tens of seconds on one-off fetches (reconnects,
-executable uploads), which says nothing about simulator throughput.
+Each workload runs in its OWN subprocess: the tunneled TPU worker this
+machine uses can crash on pathological programs, and one workload's crash
+must not lose the others' numbers. Each reports the best of several
+repetitions (tunnel stalls on one-off fetches say nothing about simulator
+throughput). If the detailed device-sweep tier fails, the workload retries
+with the exact host sweep before giving up.
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "extra": {...}}.
@@ -24,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -35,6 +39,7 @@ DVS_SIMPLE_BASELINE = 21.41
 EXAMPLE_BASELINE = 100000.0 / 156.49  # reference CI perf baseline
 
 REF = Path("/root/reference")
+WORKER_TIMEOUT = float(os.environ.get("SANAFE_BENCH_TIMEOUT", "2700"))
 
 
 def bench_example() -> float:
@@ -63,12 +68,13 @@ def bench_example() -> float:
     return best
 
 
-def bench_dvs(timing_model: str, reps: int = 3, steps: int = 1000) -> float:
+def bench_dvs(
+    timing_model: str, device_sweep: bool, reps: int = 3, steps: int = 1000
+) -> float:
     """North-star workload: DVS-gesture with spike trace written to disk
-    (the acceptance config is 1000 steps + spike traces). Detailed timing
-    uses the on-device sweep tier; rasters are unaffected by the timing
-    tier (tests/test_device_sweep.py) and byte-identical to the reference
-    (tests/test_reference_parity.py)."""
+    (the acceptance config is 1000 steps + spike traces). Rasters are
+    unaffected by the timing tier (tests/test_device_sweep.py) and
+    byte-identical to the reference (tests/test_reference_parity.py)."""
     import sanafe_tpu as sf
 
     arch = sf.load_arch(REF / "arch" / "loihi.yaml")
@@ -80,7 +86,7 @@ def bench_dvs(timing_model: str, reps: int = 3, steps: int = 1000) -> float:
         timing_model=timing_model,
         heartbeat=0,
         chunk=chunk,
-        device_sweep=timing_model == "detailed",
+        device_sweep=device_sweep and timing_model == "detailed",
     )
     best = 0.0
     with tempfile.TemporaryDirectory() as td:
@@ -95,36 +101,84 @@ def bench_dvs(timing_model: str, reps: int = 3, steps: int = 1000) -> float:
     return best
 
 
+def _worker(argv: list[str]) -> None:
+    """Subprocess entry: run one workload, print its ts/s as the last line."""
+    which = argv[0]
+    if which == "example":
+        value = bench_example()
+    else:
+        value = bench_dvs(argv[1], device_sweep=argv[2] == "1")
+    print(f"RESULT {value:.6f}", flush=True)
+
+
+def _run_worker(args: list[str]) -> float | None:
+    """Run one workload subprocess; None on crash/timeout."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "_worker", *args],
+            capture_output=True,
+            text=True,
+            timeout=WORKER_TIMEOUT,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench worker {args} timed out", file=sys.stderr)
+        return None
+    for line in out.stdout.splitlines()[::-1]:
+        if line.startswith("RESULT "):
+            return float(line.split()[1])
+    sys.stderr.write(out.stderr[-2000:])
+    print(f"bench worker {args} failed (rc={out.returncode})", file=sys.stderr)
+    return None
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "_worker":
+        _worker(sys.argv[2:])
+        return
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     have_dvs = (REF / "snn" / "dvs.yaml").exists()
 
     extra: dict = {}
     if which in ("all", "example") or not have_dvs:
-        example = bench_example()
-        extra["example_detailed_ts_per_s"] = round(example, 2)
-        extra["example_vs_baseline"] = round(example / EXAMPLE_BASELINE, 3)
+        example = _run_worker(["example"])
+        if example:
+            extra["example_detailed_ts_per_s"] = round(example, 2)
+            extra["example_vs_baseline"] = round(
+                example / EXAMPLE_BASELINE, 3
+            )
     if not have_dvs:
         # no reference fixtures: fall back to the example metric headline
         print(
             json.dumps(
                 {
                     "metric": "timesteps_per_second_detailed_example",
-                    "value": extra["example_detailed_ts_per_s"],
+                    "value": extra.get("example_detailed_ts_per_s", 0.0),
                     "unit": "timesteps/s",
-                    "vs_baseline": extra["example_vs_baseline"],
+                    "vs_baseline": extra.get("example_vs_baseline", 0.0),
                 }
             )
         )
         return
 
     if which in ("all", "dvs"):
-        simple = bench_dvs("simple")
-        extra["dvs_simple_ts_per_s"] = round(simple, 2)
-        extra["dvs_simple_vs_baseline"] = round(
-            simple / DVS_SIMPLE_BASELINE, 3
-        )
-    detailed = bench_dvs("detailed")
+        simple = _run_worker(["dvs", "simple", "0"])
+        if simple:
+            extra["dvs_simple_ts_per_s"] = round(simple, 2)
+            extra["dvs_simple_vs_baseline"] = round(
+                simple / DVS_SIMPLE_BASELINE, 3
+            )
+    detailed = None
+    if os.environ.get("SANAFE_BENCH_DEVICE_SWEEP", "1") != "0":
+        detailed = _run_worker(["dvs", "detailed", "1"])
+        if detailed is not None:
+            extra["dvs_detailed_tier"] = "device_sweep"
+    if detailed is None:
+        detailed = _run_worker(["dvs", "detailed", "0"])
+        if detailed is not None:
+            extra["dvs_detailed_tier"] = "host_sweep"
+    if detailed is None:
+        detailed = 0.0
 
     print(
         json.dumps(

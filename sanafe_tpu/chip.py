@@ -1242,9 +1242,12 @@ class SpikingChip:
             ] = prog
         state = prog.init_state()
         # all model state zeroes (LoihiLifModel::reset etc. zero potentials
-        # rather than re-applying the initial 'potential' attribute)
+        # rather than re-applying the initial 'potential' attribute);
+        # zeros_like keeps dtypes (bool buffers must stay bool or the next
+        # scan rejects the carry)
         self._device_state = {
-            key: value * 0 for key, value in state.items()
+            key: jax.numpy.zeros_like(value)
+            for key, value in state.items()
         }
 
     def save_state(self, path: str | Path) -> None:

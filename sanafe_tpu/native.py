@@ -100,6 +100,11 @@ def get_library() -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
         ctypes.c_double, f64p, ctypes.c_int32,
     ]
+    lib.sched_bench_packed.restype = ctypes.c_double
+    lib.sched_bench_packed.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+    ]
     lib.sched_run_chunk_cycle.restype = ctypes.c_int32
     lib.sched_run_chunk_cycle.argtypes = [
         ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
@@ -355,6 +360,24 @@ class NativeScheduler:
         if rc != 0:
             raise RuntimeError("native scheduler packed run failed")
         return sim_time
+
+    def bench_packed(
+        self,
+        masks_packed: np.ndarray,
+        sync_delay: float,
+        iters: int = 1,
+        phase: int = 1,
+    ) -> float:
+        """Profiling hook: re-run the packed chunk `iters` times. phase
+        0 times the message build alone; phase 1 times build + sweep."""
+        masks_packed = np.ascontiguousarray(masks_packed, dtype=np.uint8)
+        T, planes, mask_bytes = masks_packed.shape
+        assert planes == 2
+        return float(self._lib.sched_bench_packed(
+            self._handle, np.int32(T), _ptr(masks_packed, ctypes.c_uint8),
+            np.int32(mask_bytes), float(sync_delay), np.int32(iters),
+            np.int32(phase),
+        ))
 
     def run_chunk_cycle(
         self,

@@ -403,9 +403,11 @@ struct SweepScratch {
     std::vector<std::pair<double, int32_t>> head_heap_v;
     std::vector<int32_t> retire_cores;
     std::vector<double> head_recv;
+    std::vector<double> lat;            // per-slot latency, one step
 
     void init(const ChipLayout &L) {
-        if (static_cast<int32_t>(fin.size()) != L.n_cores) {
+        if (static_cast<int32_t>(fin.size()) != L.n_cores ||
+        lat.size() != L.lat_base.size()) {
             density.assign(
                 static_cast<size_t>(L.noc_w) * L.noc_h * L.links_per_tile,
                 0.0);
@@ -416,15 +418,70 @@ struct SweepScratch {
             head_recv.assign((L.n_cores + 7) & ~7,
                              std::numeric_limits<double>::infinity());
             core_begin.assign(L.n_cores + 1, 0);
+            lat.assign(L.lat_base.size(), 0.0);
         }
     }
 };
+
+// Bit-reversed byte table: numpy packbits is MSB-first (slot 8k+i is bit
+// 7-i of byte k), while AVX-512 mask lanes are LSB-first — rev8[b] swaps
+// the bit order so byte k maps directly onto lanes of slot block k.
+struct Rev8 {
+    uint8_t t[256];
+    Rev8() {
+        for (int b = 0; b < 256; ++b) {
+            uint8_t r = 0;
+            for (int i = 0; i < 8; ++i) {
+                if (b & (1 << (7 - i))) r |= (1 << i);
+            }
+            t[b] = r;
+        }
+    }
+};
+const Rev8 g_rev8;
+
+// Per-slot generation latency for one timestep, written to s.lat:
+// lat[j] = base[j] (+ update[j] if updated) (+ spike[j] if fired) — the
+// same two conditional float64 adds, in the same order, as the scalar
+// walk (bit-exact). The latency component vectors are padded to a
+// multiple of 8 at creation so whole-byte blocks can load safely.
+void compute_step_latencies(const ChipLayout &L, const uint8_t *fired_bits,
+                            const uint8_t *updated_bits, SweepScratch &s) {
+    const size_t n_pad = L.lat_base.size();
+    const double *base = L.lat_base.data();
+    const double *upd = L.lat_update.data();
+    const double *spk = L.lat_spike.data();
+    double *out = s.lat.data();
+    const size_t n_bytes = n_pad / 8;
+#if defined(__AVX512F__)
+    for (size_t k = 0; k < n_bytes; ++k) {
+        const __mmask8 fm = g_rev8.t[fired_bits[k]];
+        const __mmask8 um = g_rev8.t[updated_bits[k]];
+        __m512d lat = _mm512_loadu_pd(base + 8 * k);
+        lat = _mm512_mask_add_pd(lat, um, lat,
+                                 _mm512_loadu_pd(upd + 8 * k));
+        lat = _mm512_mask_add_pd(lat, fm, lat,
+                                 _mm512_loadu_pd(spk + 8 * k));
+        _mm512_storeu_pd(out + 8 * k, lat);
+    }
+#else
+    for (size_t j = 0; j < n_pad; ++j) {
+        const int32_t ji = static_cast<int32_t>(j);
+        double lat = base[j];
+        if (get_bit(updated_bits, ji)) lat += upd[j];
+        if (get_bit(fired_bits, ji)) lat += spk[j];
+        out[j] = lat;
+    }
+#endif
+}
 
 // Build one timestep's flat message list from the packed masks
 // (bit-identical values to build_messages_packed).
 void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
                          const uint8_t *updated_bits, SweepScratch &s) {
     s.msgs.clear();
+    compute_step_latencies(L, fired_bits, updated_bits, s);
+    const double *lat = s.lat.data();
     for (int core = 0; core < L.n_cores; ++core) {
         s.core_begin[core] = static_cast<int32_t>(s.msgs.size());
         const int32_t lo = L.core_slot_lo[core];
@@ -432,12 +489,8 @@ void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
         if (lo < 0) continue;
         double acc = 0.0;
         for (int32_t j = lo; j <= hi; ++j) {
-            const bool fired = get_bit(fired_bits, j);
-            double lat = L.lat_base[j];
-            if (get_bit(updated_bits, j)) lat += L.lat_update[j];
-            if (fired) lat += L.lat_spike[j];
-            acc += lat;
-            if (!fired) continue;
+            acc += lat[j];
+            if (!get_bit(fired_bits, j)) continue;
             const int32_t a_begin = L.slot_axon_start[j];
             const int32_t a_end = L.slot_axon_start[j + 1];
             for (int32_t a = a_begin; a < a_end; ++a) {
@@ -892,6 +945,12 @@ int64_t sched_create(
     L->lat_base.assign(neuron_lat_base, neuron_lat_base + n_neurons);
     L->lat_update.assign(neuron_lat_update, neuron_lat_update + n_neurons);
     L->lat_spike.assign(neuron_lat_spike, neuron_lat_spike + n_neurons);
+    // pad to whole 8-lane blocks so the vectorized per-slot latency pass
+    // can load full vectors (padding lanes are never read by the walks)
+    const size_t n_pad = (static_cast<size_t>(n_neurons) + 7) & ~size_t(7);
+    L->lat_base.resize(n_pad, 0.0);
+    L->lat_update.resize(n_pad, 0.0);
+    L->lat_spike.resize(n_pad, 0.0);
     // Axon ids are allocated core-major so a stable counting pass groups them.
     L->core_axon_start.assign(n_cores + 1, 0);
     for (int32_t a = 0; a < n_axons; ++a) {
@@ -1058,6 +1117,41 @@ int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
     }
 #endif
     return 0;
+}
+
+// Profiling hook (used by perf tooling, not the simulator): re-runs the
+// packed chunk `iters` times. phase 0 = message build only, phase 1 =
+// build + sweep. Returns a checksum-ish accumulator so the work cannot
+// be dead-code-eliminated.
+double sched_bench_packed(int64_t handle, int32_t T, const uint8_t *masks,
+                          int32_t mask_bytes, double sync_delay,
+                          int32_t iters, int32_t phase) {
+    ChipLayout *L;
+    {
+        std::lock_guard<std::mutex> lock(g_chips_mutex);
+        if (handle < 0 || handle >= static_cast<int64_t>(g_chips.size()) ||
+            g_chips[handle] == nullptr) {
+            return -1.0;
+        }
+        L = g_chips[handle];
+    }
+    const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
+    SweepScratch scratch;
+    double acc = 0.0;
+    for (int32_t it = 0; it < iters; ++it) {
+        for (int32_t t = 0; t < T; ++t) {
+            const uint8_t *fired = masks + t * step_stride;
+            const uint8_t *updated = fired + mask_bytes;
+            scratch.init(*L);
+            build_messages_lite(*L, fired, updated, scratch);
+            if (phase == 0) {
+                acc += static_cast<double>(scratch.msgs.size());
+            } else {
+                acc += sweep_timestep_lite(*L, scratch) + sync_delay;
+            }
+        }
+    }
+    return acc;
 }
 
 // Cycle-accurate chunk runner: same inputs as sched_run_chunk_packed, but

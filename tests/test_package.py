@@ -151,6 +151,10 @@ def test_mapped_neuron_runtime_updates():
     assert neuron.get_potential() > 6.0
     chip.reset()
     assert neuron.get_potential() == 0.0
+    # simulation must run cleanly after a reset: the zeroed state has to
+    # keep its dtypes (a bool buffer promoted to int broke the scan carry)
+    result = chip.sim(2, timing_model="simple", heartbeat=0)
+    assert result["timesteps_executed"] == 2
 
 
 def test_checkpoint_resume(tmp_path):
