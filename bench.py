@@ -168,8 +168,12 @@ def main() -> None:
             extra["dvs_simple_vs_baseline"] = round(
                 simple / DVS_SIMPLE_BASELINE, 3
             )
+    # The exact host sweep is the fast detailed tier at DVS scale (the
+    # on-device merge kernel is event-serial and pays per-iteration VPU
+    # overhead; see ops/merge_sweep.py). Opt into benching the device tier
+    # with SANAFE_BENCH_DEVICE_SWEEP=1.
     detailed = None
-    if os.environ.get("SANAFE_BENCH_DEVICE_SWEEP", "1") != "0":
+    if os.environ.get("SANAFE_BENCH_DEVICE_SWEEP", "0") == "1":
         detailed = _run_worker(["dvs", "detailed", "1"])
         if detailed is not None:
             extra["dvs_detailed_tier"] = "device_sweep"

@@ -750,19 +750,30 @@ class SpikingChip:
         ] * length
         need_messages = traces["message"].sink.enabled
         if sweep_overflow is not None:
-            # Detailed timing already ran on device (ops/device_sweep.py).
-            # If any timestep overflowed the static message capacity,
-            # fetch the (device-resident) packed masks and redo the chunk
-            # with the exact host sweep.
+            # Detailed timing already ran on device (ops/merge_sweep.py /
+            # ops/device_sweep.py). Steps flagged by the sweep (message
+            # count over the static capacity, in-flight ring overflow) are
+            # re-swept exactly on the host; only the flagged steps' packed
+            # masks cross the link.
             fetch_start = time.perf_counter()
-            sim_times = np.asarray(sim_device, dtype=np.float64)
+            # writable copy: flagged steps are overwritten below
+            sim_times = np.array(sim_device, dtype=np.float64)
+            flagged = np.nonzero(np.asarray(sweep_overflow))[0]
             self.scheduler_wall += time.perf_counter() - fetch_start
-            if bool(np.asarray(sweep_overflow).any()):
+            if len(flagged):
                 sched_start = time.perf_counter()
-                masks = np.asarray(masks_device)
+                masks = np.asarray(
+                    jax.numpy.take(
+                        masks_device,
+                        jax.numpy.asarray(flagged),
+                        axis=0,
+                    )
+                )
                 native = self._get_native_scheduler()
                 if native is not None:
-                    sim_times = native.run_chunk_packed(masks, prog_sync)
+                    sim_times[flagged] = native.run_chunk_packed(
+                        masks, prog_sync
+                    )
                 else:
                     n = c.n_neurons
                     fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
@@ -779,10 +790,9 @@ class SpikingChip:
                         + c.dendrite_in_neuron_phase[None, :]
                         * c.dendrite_lat_update[None, :]
                     )
-                    sim_times = np.zeros(length)
-                    for i in range(length):
+                    for k, i in enumerate(flagged):
                         msgs, self._next_mid = build_timestep_messages(
-                            c, fired_axons[i], gen_latency[i], t0 + i,
+                            c, fired_axons[k], gen_latency[k], t0 + int(i),
                             getattr(self, "_next_mid", 0),
                         )
                         sim_times[i] = schedule_timestep_detailed(

@@ -117,6 +117,19 @@ def main(argv: list[str] | None = None) -> int:
     # spike/potential/perf/message traces together; only -x acts alone.
     import os
 
+    # The reference computes everything in C++ double; byte-identical trace
+    # output needs float64. On CPU backends that is free, so enable it by
+    # default; on accelerators keep the fast float32 path (bit-exact spike
+    # rasters, last-digit energy deviations) unless SANAFE_TPU_CLI_EXACT=1
+    # forces the CPU float64 parity configuration.
+    import jax
+
+    if os.environ.get("SANAFE_TPU_CLI_EXACT", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
     if os.environ.get("SANAFE_TPU_SANE_TRACES", "0") != "1":
         record_spikes = flags["record_spikes"]
         flags["record_potentials"] = record_spikes

@@ -21,6 +21,7 @@ The detailed timing model consumes the per-step fired-axon tensor host-side
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Optional
@@ -483,9 +484,21 @@ class DeviceProgram:
             # if the message-capacity flag trips.
             from .device_sweep import make_device_sweep, unpack_masks
 
-            sweep_fn = make_device_sweep(
-                self.compiled, self.sync_delay, self.dtype
-            )
+            if os.environ.get("SANAFE_TPU_DEVICE_SWEEP_GEN", "2") == "1":
+                # first-generation vmapped event loop (per-lane
+                # gather/scatter bound; kept for comparison)
+                sweep_fn = make_device_sweep(
+                    self.compiled, self.sync_delay, self.dtype
+                )
+            else:
+                # second-generation Pallas merge kernel (exact dynamic
+                # order, dense one-hot state updates, per-step host
+                # fallback flags)
+                from .merge_sweep import make_merge_sweep
+
+                sweep_fn = make_merge_sweep(
+                    self.compiled, self.sync_delay
+                )
             n_neurons = self.compiled.n_neurons
 
             @jax.jit
