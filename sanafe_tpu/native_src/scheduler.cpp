@@ -397,12 +397,13 @@ struct SweepScratch {
     std::vector<double> density;
     std::vector<double> fin;            // core_finished_receiving
     std::vector<int32_t> heads;
-    std::vector<LiteEntry> heap;        // manual std::push/pop_heap
+    std::vector<LiteEntry> heap;        // lite_heap_push / lite_heap_pop
     std::vector<std::vector<FleetLite>> fleets;
     std::vector<int32_t> fleet_head;
     std::vector<std::pair<double, int32_t>> head_heap_v;
     std::vector<int32_t> retire_cores;
     std::vector<double> head_recv;
+    std::vector<double> block_min;      // min head_recv per 8-core block
     std::vector<double> lat;            // per-slot latency, one step
 
     void init(const ChipLayout &L) {
@@ -415,13 +416,69 @@ struct SweepScratch {
             heads.assign(L.n_cores, 0);
             fleets.assign(L.n_cores, {});
             fleet_head.assign(L.n_cores, 0);
-            head_recv.assign((L.n_cores + 7) & ~7,
+            const size_t hr_pad = (L.n_cores + 7) & ~7;
+            head_recv.assign(hr_pad,
+                             std::numeric_limits<double>::infinity());
+            block_min.assign((hr_pad / 8 + 7) & ~size_t(7),
                              std::numeric_limits<double>::infinity());
             core_begin.assign(L.n_cores + 1, 0);
             lat.assign(L.lat_base.size(), 0.0);
         }
     }
 };
+
+// Exact reimplementation of libstdc++'s push_heap / pop_heap over
+// LiteEntry with the CmpLite ordering (min-heap on key): the comparison
+// SEQUENCE and tie behavior are identical (same pop order, bit-identical
+// sweep results), but the sift-down child choice compiles to a branchless
+// select — std::pop_heap's 50/50 child branch mispredicts on nearly every
+// level of nearly every pop, which dominated its cost here.
+inline void lite_heap_push(std::vector<LiteEntry> &h, LiteEntry value) {
+    h.push_back(value);  // grow; slot is overwritten by the sift below
+    LiteEntry *a = h.data();
+    size_t hole = h.size() - 1;
+    while (hole > 0) {
+        const size_t parent = (hole - 1) / 2;
+        if (!(a[parent].key > value.key)) break;
+        a[hole] = a[parent];
+        hole = parent;
+    }
+    a[hole] = value;
+}
+
+inline LiteEntry lite_heap_pop(std::vector<LiteEntry> &h) {
+    LiteEntry *a = h.data();
+    const LiteEntry top = a[0];
+    const size_t len = h.size() - 1;
+    const LiteEntry value = a[len];
+    h.pop_back();
+    if (len == 0) return top;
+    // __adjust_heap: walk the hole to a leaf taking, at each level, the
+    // right child unless the left is strictly smaller (ties keep right,
+    // matching comp(right, left) == right.key > left.key), then sift the
+    // displaced back() value up from the leaf.
+    size_t hole = 0;
+    size_t sc = 0;
+    while (sc < (len - 1) / 2) {
+        sc = 2 * (sc + 1);
+        sc -= static_cast<size_t>(a[sc].key > a[sc - 1].key);
+        a[hole] = a[sc];
+        hole = sc;
+    }
+    if ((len & 1) == 0 && sc == (len - 2) / 2) {
+        sc = 2 * (sc + 1);
+        a[hole] = a[sc - 1];
+        hole = sc - 1;
+    }
+    while (hole > 0) {
+        const size_t parent = (hole - 1) / 2;
+        if (!(a[parent].key > value.key)) break;
+        a[hole] = a[parent];
+        hole = parent;
+    }
+    a[hole] = value;
+    return top;
+}
 
 // Bit-reversed byte table: numpy packbits is MSB-first (slot 8k+i is bit
 // 7-i of byte k), while AVX-512 mask lanes are LSB-first — rev8[b] swaps
@@ -508,47 +565,153 @@ void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
     s.core_begin[L.n_cores] = static_cast<int32_t>(s.msgs.size());
 }
 
-double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
-    s.init(L);
-    std::fill(s.density.begin(), s.density.end(), 0.0);
-    std::fill(s.fin.begin(), s.fin.end(), 0.0);
-    const int n_cores = L.n_cores;
-    for (int c = 0; c < n_cores; ++c) {
-        s.heads[c] = s.core_begin[c];
-        s.fleets[c].clear();
-        s.fleet_head[c] = 0;
-        s.head_recv[c] = std::numeric_limits<double>::infinity();
-    }
-    s.heap.clear();
+// The lite sweep as an explicit state machine: start() seeds the event
+// heap, advance() processes exactly one heap pop (the full body of the
+// former while-loop, same float64 operations in the same order — still
+// bit-identical to sweep_timestep). The split exists so TWO independent
+// timesteps' sweeps can interleave advance() calls in one loop
+// (sweep_timestep_lite_pair): each sweep is a long serial dependence
+// chain stalling on data-dependent L2 loads, and the out-of-order core
+// overlaps the two chains' stalls — measured ~1.5x on one host CPU.
+struct LiteSweep {
+    const ChipLayout &L;
+    SweepScratch &s;
     double mean = 0.0;
-    int in_noc = 0;
     double last_ts = 0.0;
-    constexpr double kInf = std::numeric_limits<double>::infinity();
-    double retire_lb = kInf;
-    const CmpLite cmp{};
+    double retire_lb = std::numeric_limits<double>::infinity();
+    int in_noc = 0;
 
-    auto push_next = [&](int core, double base) {
+    static constexpr double kInf = std::numeric_limits<double>::infinity();
+
+    LiteSweep(const ChipLayout &chip, SweepScratch &scratch)
+        : L(chip), s(scratch) {}
+
+    inline void push_next(int core, double base) {
         const int32_t i = s.heads[core]++;
         // the message's route links will be walked when it pops (usually
         // many iterations from now) -- start the line toward L1 now
         __builtin_prefetch(&L.route_links[s.msgs[i].route_off]);
         const double sent = base + s.msgs[i].gen;
-        s.heap.push_back({sent, static_cast<int32_t>(core), i});
-        std::push_heap(s.heap.begin(), s.heap.end(), cmp);
+        lite_heap_push(s.heap, {sent, static_cast<int32_t>(core), i});
         if (sent > last_ts) last_ts = sent;
-        return sent;
-    };
+    }
 
-    for (int core = 0; core < n_cores; ++core) {
-        if (s.core_begin[core] < s.core_begin[core + 1]) {
-            push_next(core, 0.0);
+    // head_recv[core] changed: refresh its 8-core block minimum (the
+    // retire scan reads only block minima; see retire()).
+    inline void refresh_block(int core) {
+#if defined(__AVX512F__)
+        const int b = core >> 3;
+        const __m512d v = _mm512_loadu_pd(s.head_recv.data() + 8 * b);
+        s.block_min[b] = _mm512_reduce_min_pd(v);
+#else
+        (void)core;
+#endif
+    }
+
+    void start() {
+        s.init(L);
+        std::fill(s.density.begin(), s.density.end(), 0.0);
+        std::fill(s.fin.begin(), s.fin.end(), 0.0);
+        const int n_cores = L.n_cores;
+        for (int c = 0; c < n_cores; ++c) {
+            s.heads[c] = s.core_begin[c];
+            s.fleets[c].clear();
+            s.fleet_head[c] = 0;
+            s.head_recv[c] = kInf;
+        }
+        std::fill(s.block_min.begin(), s.block_min.end(), kInf);
+        s.heap.clear();
+        for (int core = 0; core < n_cores; ++core) {
+            if (s.core_begin[core] < s.core_begin[core + 1]) {
+                push_next(core, 0.0);
+            }
         }
     }
 
-    while (!s.heap.empty()) {
-        std::pop_heap(s.heap.begin(), s.heap.end(), cmp);
-        const LiteEntry e = s.heap.back();
-        s.heap.pop_back();
+    bool live() const { return !s.heap.empty(); }
+
+    inline void drain_core(int core, double sent_ts) {
+        double *hr = s.head_recv.data();
+        auto &fleet = s.fleets[core];
+        int32_t &head = s.fleet_head[core];
+        const int32_t size = static_cast<int32_t>(fleet.size());
+        while (head < size && sent_ts >= fleet[head].recv) {
+            const FleetLite &fe = fleet[head];
+            const double radj = -fe.adj;
+            const int32_t *lp = &L.route_links[fe.route_off];
+            for (int32_t k = 0; k < fe.route_len; ++k) {
+                s.density[lp[k]] += radj;
+            }
+            if (in_noc > 1) {
+                mean += (mean - fe.proc) / (in_noc - 1.0);
+            } else {
+                mean = 0.0;
+            }
+            in_noc -= 1;
+            ++head;
+        }
+        if (head >= size) {
+            fleet.clear();
+            head = 0;
+            hr[core] = kInf;
+        } else {
+            if (head > 64 && head > size / 2) {
+                fleet.erase(fleet.begin(), fleet.begin() + head);
+                head = 0;
+            }
+            // first to retire next batch: warm its route line
+            __builtin_prefetch(&L.route_links[fleet[head].route_off]);
+            hr[core] = fleet[head].recv;
+        }
+        refresh_block(core);
+    }
+
+    inline void retire(double sent_ts) {
+        // Retire in ascending-core order, fleet (arrival) order within
+        // a core -- the reference's noc_update_all_tracked_messages scan
+        // order. The due-detection runs nearly once per message, so it is
+        // two-level: scan the per-8-core block minima (kept fresh by
+        // refresh_block) and touch only blocks with a due core.
+        const int n_cores = L.n_cores;
+        double *hr = s.head_recv.data();
+#if defined(__AVX512F__)
+        const __m512d vts = _mm512_set1_pd(sent_ts);
+        __m512d vmin = _mm512_set1_pd(kInf);
+        double *bm = s.block_min.data();
+        const int nb = (n_cores + 7) / 8;       // 8-core blocks
+        const int nvb = (nb + 7) / 8;           // vectors of block minima
+        for (int vb = 0; vb < nvb; ++vb) {
+            __m512d mv = _mm512_loadu_pd(bm + 8 * vb);
+            __mmask8 due_blocks = _mm512_cmp_pd_mask(mv, vts, _CMP_LE_OQ);
+            while (due_blocks) {
+                const int b = 8 * vb + __builtin_ctz(due_blocks);
+                due_blocks = static_cast<__mmask8>(
+                    due_blocks & (due_blocks - 1));
+                const __m512d v = _mm512_loadu_pd(hr + 8 * b);
+                __mmask8 due = _mm512_cmp_pd_mask(v, vts, _CMP_LE_OQ);
+                const int base = 8 * b;
+                while (due) {
+                    const int l = __builtin_ctz(due);
+                    due = static_cast<__mmask8>(due & (due - 1));
+                    drain_core(base + l, sent_ts);
+                }
+            }
+            mv = _mm512_loadu_pd(bm + 8 * vb);  // refreshed by drains
+            vmin = _mm512_min_pd(vmin, mv);
+        }
+        retire_lb = _mm512_reduce_min_pd(vmin);
+#else
+        double new_lb = kInf;
+        for (int core = 0; core < n_cores; ++core) {
+            if (hr[core] <= sent_ts) drain_core(core, sent_ts);
+            if (hr[core] < new_lb) new_lb = hr[core];
+        }
+        retire_lb = new_lb;
+#endif
+    }
+
+    inline void advance() {
+        const LiteEntry e = lite_heap_pop(s.heap);
         if (!s.heap.empty()) {
             // the likely-next message; hides its load latency behind the
             // current message's processing
@@ -557,74 +720,7 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
         double sent_ts = e.key;
         if (sent_ts > last_ts) last_ts = sent_ts;
 
-        if (sent_ts >= retire_lb) {
-            // Retire in ascending-core order, fleet (arrival) order within
-            // a core -- the reference's noc_update_all_tracked_messages scan
-            // order. The due-detection pass over the per-core head recv
-            // times runs nearly once per message, so it is vectorized.
-            double *hr = s.head_recv.data();
-            auto drain_core = [&](int core) {
-                auto &fleet = s.fleets[core];
-                int32_t &head = s.fleet_head[core];
-                const int32_t size = static_cast<int32_t>(fleet.size());
-                while (head < size && sent_ts >= fleet[head].recv) {
-                    const FleetLite &fe = fleet[head];
-                    const double radj = -fe.adj;
-                    const int32_t *lp = &L.route_links[fe.route_off];
-                    for (int32_t k = 0; k < fe.route_len; ++k) {
-                        s.density[lp[k]] += radj;
-                    }
-                    if (in_noc > 1) {
-                        mean += (mean - fe.proc) / (in_noc - 1.0);
-                    } else {
-                        mean = 0.0;
-                    }
-                    in_noc -= 1;
-                    ++head;
-                }
-                if (head >= size) {
-                    fleet.clear();
-                    head = 0;
-                    hr[core] = kInf;
-                } else {
-                    if (head > 64 && head > size / 2) {
-                        fleet.erase(fleet.begin(), fleet.begin() + head);
-                        head = 0;
-                    }
-                    // first to retire next batch: warm its route line
-                    __builtin_prefetch(
-                        &L.route_links[fleet[head].route_off]);
-                    hr[core] = fleet[head].recv;
-                }
-            };
-#if defined(__AVX512F__)
-            const __m512d vts = _mm512_set1_pd(sent_ts);
-            __m512d vmin = _mm512_set1_pd(kInf);
-            const int nb = (n_cores + 7) / 8;
-            for (int b = 0; b < nb; ++b) {
-                __m512d v = _mm512_loadu_pd(hr + 8 * b);
-                __mmask8 due = _mm512_cmp_pd_mask(v, vts, _CMP_LE_OQ);
-                if (due) {
-                    const int base = 8 * b;
-                    do {
-                        const int l = __builtin_ctz(due);
-                        due = static_cast<__mmask8>(due & (due - 1));
-                        drain_core(base + l);
-                    } while (due);
-                    v = _mm512_loadu_pd(hr + 8 * b);
-                }
-                vmin = _mm512_min_pd(vmin, v);
-            }
-            retire_lb = _mm512_reduce_min_pd(vmin);
-#else
-            double new_lb = kInf;
-            for (int core = 0; core < n_cores; ++core) {
-                if (hr[core] <= sent_ts) drain_core(core);
-                if (hr[core] < new_lb) new_lb = hr[core];
-            }
-            retire_lb = new_lb;
-#endif
-        }
+        if (sent_ts >= retire_lb) retire(sent_ts);
 
         const MsgLite &m = s.msgs[e.idx];
         if (m.dest >= 0) {
@@ -659,6 +755,7 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
                 {recv, m.proc, m.adj, m.route_off, m.route_len});
             if (was_empty) {
                 s.head_recv[m.dest] = recv;
+                refresh_block(m.dest);
                 if (recv < retire_lb) retire_lb = recv;
             }
         }
@@ -667,7 +764,13 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
             push_next(e.core, sent_ts);
         }
     }
-    return last_ts;
+};
+
+double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
+    LiteSweep sweep(L, s);
+    sweep.start();
+    while (sweep.live()) sweep.advance();
+    return sweep.last_ts;
 }
 
 // One timestep's event sweep (src/schedule.cpp:208-292). Returns the final
