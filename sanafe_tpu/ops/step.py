@@ -157,27 +157,20 @@ class ConvDelivery:
     # per conv spec: (src_group, dest_group, kernel f64 [kh,kw,cin,cout+1],
     # (s_h, s_w), (cin, h, w), (cout, oh, ow))
     entries: list
-    # group -> list[(slot_start, slot_stop)] whose concatenation is the
-    # group's fired vector in neuron-offset order
-    gather_runs: dict
-    # slot-ordered partition of [0, n): (group_name | None, off_a, off_b);
-    # concatenating each group's delivery result (or zeros) over these
-    # pieces rebuilds the global slot-axis vector
-    out_pieces: list
+    # group -> int32 slot array: the group's fired vector in neuron-offset
+    # order is ONE gather (slots interleave across cores, so run-slicing
+    # fragments into hundreds of pieces — at DVS scale the old slice+concat
+    # assembly put ~1700 slices per step into the scan body)
+    in_index: dict
+    # conv-dest groups in the order their results concatenate into G
+    dest_order: list
+    # slot s takes G[out_gidx[s]] where out_mask[s], else 0 — the inverse
+    # slot permutation as one gather instead of a slot-run concatenation
+    out_gidx: np.ndarray  # int32 [n]
+    out_mask: np.ndarray  # bool [n]
     # block delivery over the edges not covered by conv specs
     leftover: Optional[BlockDelivery]
 
-
-def _slot_runs(slots: np.ndarray) -> list[tuple[int, int]]:
-    """Decompose an offset-ordered slot array into maximal contiguous
-    [start, stop) slot ranges."""
-    s = np.asarray(slots, dtype=np.int64)
-    if len(s) == 0:
-        return []
-    breaks = np.nonzero(np.diff(s) != 1)[0]
-    starts = np.concatenate([[0], breaks + 1])
-    stops = np.concatenate([breaks + 1, [len(s)]])
-    return [(int(s[a]), int(s[a]) + int(b - a)) for a, b in zip(starts, stops)]
 
 
 def build_conv_delivery(c: CompiledChip) -> Optional[ConvDelivery]:
@@ -213,45 +206,35 @@ def build_conv_delivery(c: CompiledChip) -> Optional[ConvDelivery]:
             )
         )
         if spec.src_group not in gather_runs:
-            gather_runs[spec.src_group] = _slot_runs(c.groups[spec.src_group])
-
-    # Slot-space partition: maximal runs with a single (group, contiguous
-    # offsets) identity. Only conv-DEST groups contribute values; the rest
-    # are zero pieces (any non-conv delivery arrives via the leftover
-    # block path and is added on top).
-    conv_dests = {e[1] for e in entries}
-    group_of_slot = np.full(c.n_neurons, -1, dtype=np.int64)
-    # unmapped slots (e.g. the inert padding appended by
-    # parallel.pad_compiled) use their own slot index as the offset so a
-    # run of them coalesces into one zero piece
-    offset_of_slot = np.arange(c.n_neurons, dtype=np.int64)
-    names = sorted(c.groups)
-    for gi, name in enumerate(names):
-        slots = np.asarray(c.groups[name])
-        group_of_slot[slots] = gi
-        offset_of_slot[slots] = np.arange(len(slots))
-    boundary = np.nonzero(
-        (np.diff(group_of_slot) != 0) | (np.diff(offset_of_slot) != 1)
-    )[0]
-    starts = np.concatenate([[0], boundary + 1])
-    stops = np.concatenate([boundary + 1, [c.n_neurons]])
-    out_pieces = []
-    for a, b in zip(starts, stops):
-        gi = group_of_slot[a]
-        name = names[gi] if gi >= 0 else None
-        out_pieces.append(
-            (
-                name if name in conv_dests else None,
-                int(offset_of_slot[a]),
-                int(offset_of_slot[a]) + int(b - a),
+            gather_runs[spec.src_group] = np.asarray(
+                c.groups[spec.src_group], dtype=np.int32
             )
-        )
+
+    # Inverse slot permutation: only conv-DEST groups contribute values;
+    # every other slot — other groups, and the inert padding appended by
+    # parallel.pad_compiled — is masked to zero (any non-conv delivery
+    # arrives via the leftover block path and is added on top).
+    conv_dests = {e[1] for e in entries}
+    dest_order = sorted(conv_dests)
+    base = {}
+    off = 0
+    for g in dest_order:
+        base[g] = off
+        off += len(c.groups[g])
+    out_gidx = np.zeros(c.n_neurons, dtype=np.int32)
+    out_mask = np.zeros(c.n_neurons, dtype=bool)
+    for name in dest_order:
+        slots = np.asarray(c.groups[name])
+        out_gidx[slots] = base[name] + np.arange(len(slots), dtype=np.int32)
+        out_mask[slots] = True
 
     leftover = build_block_delivery(c, edge_subset=~c.edge_from_conv)
     return ConvDelivery(
         entries=entries,
-        gather_runs=gather_runs,
-        out_pieces=out_pieces,
+        in_index=gather_runs,
+        dest_order=dest_order,
+        out_gidx=out_gidx,
+        out_mask=out_mask,
         leftover=leftover,
     )
 
@@ -732,6 +715,11 @@ def make_device_program(
         block = conv_delivery.leftover
         for i, entry in enumerate(conv_delivery.entries):
             arrays[f"conv_kernel_{i}"] = farr(entry[2])
+            arrays[f"conv_src_idx_{i}"] = jnp.asarray(
+                conv_delivery.in_index[entry[0]]
+            )
+        arrays["conv_out_gidx"] = jnp.asarray(conv_delivery.out_gidx)
+        arrays["conv_out_mask"] = jnp.asarray(conv_delivery.out_mask)
     else:
         block = build_block_delivery(c)
     pallas_delivery = None
@@ -1385,8 +1373,7 @@ def _conv_deliver(prog, a, fired_f, dtype):
     results: dict[str, tuple] = {}
     for i, entry in enumerate(cd.entries):
         src_g, dst_g, _, strides, (cin, h, w), (cout, oh, ow) = entry
-        parts = [fired_f[s:e] for s, e in cd.gather_runs[src_g]]
-        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        x = fired_f[a[f"conv_src_idx_{i}"]]
         x = x.reshape(1, cin, h, w)
         # kernel is HWIO with an appended all-ones output channel: channel
         # `cout` is each destination position's arrival count
@@ -1406,19 +1393,18 @@ def _conv_deliver(prog, a, fired_f, dtype):
             results[dst_g] = (pc + cur, pn + cnt)
         else:
             results[dst_g] = (cur, cnt)
-    pieces_cur = []
-    pieces_cnt = []
-    for g, a0, b0 in cd.out_pieces:
-        if g is None or g not in results:
-            z = jnp.zeros(b0 - a0, dtype=dtype)
-            pieces_cur.append(z)
-            pieces_cnt.append(z)
-        else:
-            pieces_cur.append(results[g][0][a0:b0])
-            pieces_cnt.append(results[g][1][a0:b0])
-    if len(pieces_cur) == 1:
-        return pieces_cur[0], pieces_cnt[0] > 0
-    return jnp.concatenate(pieces_cur), jnp.concatenate(pieces_cnt) > 0
+    # Concatenate the per-group results in dest_order and invert the slot
+    # permutation with ONE gather + mask (slot-run slicing fragments into
+    # ~1700 pieces per step at DVS scale).
+    parts_cur = [results[g][0] for g in cd.dest_order]
+    parts_cnt = [results[g][1] for g in cd.dest_order]
+    g_cur = parts_cur[0] if len(parts_cur) == 1 else jnp.concatenate(parts_cur)
+    g_cnt = parts_cnt[0] if len(parts_cnt) == 1 else jnp.concatenate(parts_cnt)
+    mask = a["conv_out_mask"]
+    gidx = a["conv_out_gidx"]
+    buffer_current = jnp.where(mask, g_cur[gidx], jnp.zeros((), dtype=dtype))
+    any_input = mask & (g_cnt[gidx] > 0)
+    return buffer_current, any_input
 
 
 def _scatter_delivery(prog, a, c, state, fired, dtype, n):
