@@ -107,10 +107,14 @@ def build_timestep_messages(
             src_slot = int(c.axon_src_slot[axon_id])
             ordinal = int(c.axon_ordinal_in_neuron[axon_id])
             if ordinal == 0:
-                # Account latency of all neurons up to and including src
-                acc += float(
-                    np.sum(neuron_gen_latency[next_slot : src_slot + 1])
-                )
+                # Account latency of all neurons up to and including src.
+                # Strictly SEQUENTIAL accumulation (cumsum, not np.sum whose
+                # pairwise tree rounds differently): the reference folds one
+                # neuron's latency at a time into the core accumulator
+                # (src/chip.cpp:727-728) and sim_time must match to the bit.
+                seg = neuron_gen_latency[next_slot : src_slot + 1]
+                if seg.size:
+                    acc += float(np.cumsum(seg)[-1])
                 next_slot = src_slot + 1
             ref = slot_labels[src_slot]
             rec = MessageRecord(
@@ -144,8 +148,9 @@ def build_timestep_messages(
             mid += 1
             core_msgs.append(rec)
         # Remaining neuron processing becomes a placeholder message
-        # (src/chip.cpp:640-652)
-        remainder = float(np.sum(neuron_gen_latency[next_slot : hi + 1]))
+        # (src/chip.cpp:640-652); sequential accumulation as above
+        tail = neuron_gen_latency[next_slot : hi + 1]
+        remainder = float(np.cumsum(tail)[-1]) if tail.size else 0.0
         if remainder != 0.0:
             last_ref = slot_labels[hi]
             placeholder = MessageRecord(

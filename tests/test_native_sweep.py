@@ -1,0 +1,55 @@
+"""Native C++ sweep vs the pure-Python libstdc++ replica on tie-heavy input.
+
+The detailed sweep's event heap compares ONLY sent timestamps
+(CompareMessagesBySentTime, reference src/message.cpp:61-65), so equal
+keys pop in whatever order libstdc++'s sift produces — and the results
+(rolling mean, densities, sim_time) depend on that order. The native
+scheduler reimplements the heap with a branchless sift
+(sanafe_tpu/native_src/scheduler.cpp lite_heap_push/lite_heap_pop); this test pins its
+tie behavior against the pure-Python LibstdcxxMinHeap replica
+(ops/timing.py) on a chip whose uniform hardware costs make sent
+timestamps collide constantly.
+"""
+
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+
+
+def _per_step_times(chip, steps):
+    rv = chip.sim(steps, timing_model="detailed", perf_trace=True,
+                  heartbeat=0)
+    return np.asarray(rv["perf_trace"].data["sim_time"], dtype=np.float64)
+
+
+@pytest.fixture(scope="module")
+def tie_heavy_times():
+    # uniform per-event costs on every core -> massive sent-ts ties
+    chip = ge._build_chip(tiles_x=3, tiles_y=3, cores_per_tile=3,
+                          neurons_per_core=48, layers=4)
+    native = chip._get_native_scheduler()
+    times_native = _per_step_times(chip, 40) if native is not None else None
+
+    chip2 = ge._build_chip(tiles_x=3, tiles_y=3, cores_per_tile=3,
+                           neurons_per_core=48, layers=4)
+    chip2._native_failed = True  # force the pure-Python sweep
+    times_python = _per_step_times(chip2, 40)
+    return times_native, times_python
+
+
+def test_native_matches_python_replica_on_ties(tie_heavy_times):
+    times_native, times_python = tie_heavy_times
+    if times_native is None:
+        pytest.skip("native scheduler unavailable (no C++ toolchain)")
+    assert times_python.shape == times_native.shape
+    np.testing.assert_array_equal(times_native, times_python)
+
+
+def test_tie_heavy_run_is_nontrivial(tie_heavy_times):
+    """The fixture must actually exercise congestion/ties: several
+    distinct per-step times and nonzero totals, else the equality test
+    proves nothing."""
+    _, times_python = tie_heavy_times
+    assert (times_python > 0).all()
+    assert len(np.unique(times_python)) >= 3
