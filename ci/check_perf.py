@@ -50,16 +50,32 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     baseline = json.loads(BASELINE_PATH.read_text())
-    if baseline.get("metric") != result.get("metric"):
+    failed = False
+    base_extra = baseline.get("extra", {})
+    if baseline.get("metric") == "timesteps_per_second_detailed_example":
+        # pre-DVS-headline baseline format: its value is the example-chip
+        # workload, which now lives in extra — compare what overlaps and
+        # nag for a refresh instead of failing the gate outright
+        base_extra = dict(base_extra)
+        base_extra.setdefault(
+            "example_detailed_ts_per_s", float(baseline["value"])
+        )
+        print("note: baseline predates the DVS headline metric; gating on "
+              "the example workload only — refresh with --update")
+        checks = []
+    elif baseline.get("metric") != result.get("metric"):
         print(f"baseline metric '{baseline.get('metric')}' != measured "
               f"'{result.get('metric')}'; refresh with --update")
         return 1
-    failed = False
-    checks = [(result["metric"], value, float(baseline["value"]))]
-    base_extra = baseline.get("extra", {})
+    else:
+        checks = [(result["metric"], value, float(baseline["value"]))]
     for key, measured in result.get("extra", {}).items():
         if key.endswith("_ts_per_s") and key in base_extra:
             checks.append((key, float(measured), float(base_extra[key])))
+    if not checks:
+        print("FAIL: no comparable metrics between bench output and "
+              "baseline; refresh with --update")
+        return 1
     for name, measured, base_value in checks:
         ratio = measured / base_value
         print(f"{name}: {measured:,.1f} vs baseline {base_value:,.1f} "

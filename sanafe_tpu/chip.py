@@ -102,6 +102,26 @@ class _FetchAhead:
 DEFAULT_CHUNK = 1024
 
 
+def _masks_to_fired_gen(c, masks: np.ndarray):
+    """Unpack a chunk's [T, 2, nbytes] fired/updated bitmaps into the
+    per-step fired-axon matrix and per-neuron float64 generation
+    latencies (access + update + spike + neuron-phase dendrite costs),
+    mirroring process_neuron (src/chip.cpp:710-736). Shared by every
+    host-side timing tier so the latency formula lives in one place."""
+    n = c.n_neurons
+    fired_n = np.unpackbits(masks[:, 0, :], axis=1)[:, :n].astype(bool)
+    updated_n = np.unpackbits(masks[:, 1, :], axis=1)[:, :n].astype(bool)
+    fired_axons = fired_n[:, c.axon_src_slot]
+    gen_latency = (
+        c.soma_lat_access[None, :]
+        + updated_n * c.soma_lat_update[None, :]
+        + fired_n * c.soma_lat_spike[None, :]
+        + c.dendrite_in_neuron_phase[None, :]
+        * c.dendrite_lat_update[None, :]
+    )
+    return fired_axons, gen_latency
+
+
 @dataclass
 class RunData:
     """Accumulated results of one sim() call (src/chip.hpp RunData)."""
@@ -775,21 +795,7 @@ class SpikingChip:
                         masks, prog_sync
                     )
                 else:
-                    n = c.n_neurons
-                    fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
-                        :, :n
-                    ].astype(bool)
-                    updated_n = np.unpackbits(masks[:, 1, :], axis=1)[
-                        :, :n
-                    ].astype(bool)
-                    fired_axons = fired_n[:, c.axon_src_slot]
-                    gen_latency = (
-                        c.soma_lat_access[None, :]
-                        + updated_n * c.soma_lat_update[None, :]
-                        + fired_n * c.soma_lat_spike[None, :]
-                        + c.dendrite_in_neuron_phase[None, :]
-                        * c.dendrite_lat_update[None, :]
-                    )
+                    fired_axons, gen_latency = _masks_to_fired_gen(c, masks)
                     for k, i in enumerate(flagged):
                         msgs, self._next_mid = build_timestep_messages(
                             c, fired_axons[k], gen_latency[k], t0 + int(i),
@@ -814,21 +820,7 @@ class SpikingChip:
                 if need_messages:
                     # message records (delays per the detailed sweep) are
                     # still produced for the trace surface
-                    n = c.n_neurons
-                    fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
-                        :, :n
-                    ].astype(bool)
-                    updated_n = np.unpackbits(masks[:, 1, :], axis=1)[
-                        :, :n
-                    ].astype(bool)
-                    fired_axons = fired_n[:, c.axon_src_slot]
-                    gen_latency = (
-                        c.soma_lat_access[None, :]
-                        + updated_n * c.soma_lat_update[None, :]
-                        + fired_n * c.soma_lat_spike[None, :]
-                        + c.dendrite_in_neuron_phase[None, :]
-                        * c.dendrite_lat_update[None, :]
-                    )
+                    fired_axons, gen_latency = _masks_to_fired_gen(c, masks)
                     for i in range(length):
                         msgs, self._next_mid = build_timestep_messages(
                             c,
@@ -851,24 +843,7 @@ class SpikingChip:
             else:
                 # Unpack masks host-side for the message-trace and
                 # pure-Python paths
-                n = c.n_neurons
-                fired_n = np.unpackbits(masks[:, 0, :], axis=1)[
-                    :, :n
-                ].astype(bool)
-                updated_n = np.unpackbits(masks[:, 1, :], axis=1)[
-                    :, :n
-                ].astype(bool)
-                fired_axons = fired_n[:, c.axon_src_slot]
-                # Per-neuron generation latencies in float64 (access +
-                # update + spike + neuron-phase dendrite costs), mirroring
-                # process_neuron (src/chip.cpp:710-736).
-                gen_latency = (
-                    c.soma_lat_access[None, :]
-                    + updated_n * c.soma_lat_update[None, :]
-                    + fired_n * c.soma_lat_spike[None, :]
-                    + c.dendrite_in_neuron_phase[None, :]
-                    * c.dendrite_lat_update[None, :]
-                )
+                fired_axons, gen_latency = _masks_to_fired_gen(c, masks)
                 if timing_model == "detailed" and native is not None:
                     # When the message trace is stream-only, rows are
                     # written straight from the native field arrays (no

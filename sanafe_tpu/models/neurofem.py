@@ -63,19 +63,29 @@ def neurofem_update(params, state, valid, current, t, comp):
     u_integrated = u_integrated + dt * u_error
 
     v = v - lambda_v * dt * v
-    # seeded, replayable stand-in for the reference's random_device-seeded
-    # mt19937 normal draws (plugins/neurofem.cpp:296-303)
-    seed = int(os.environ.get("SANAFE_TPU_NEUROFEM_SEED", "42"))
-    key = jax.random.fold_in(
-        jax.random.PRNGKey(seed), jnp.asarray(t, jnp.uint32)
+    # Seeded, replayable stand-in for the reference's random_device-seeded
+    # mt19937 normal draws (plugins/neurofem.cpp:296-303). Params arrive as
+    # traced jit arguments, so gate the per-step RNG behind a runtime cond:
+    # with sigma_v all zero (the default) the normal draw never executes
+    # instead of being drawn and multiplied by zero every step.
+    sigma_v = params["sigma_v"]
+
+    def _draw_noise():
+        seed = int(os.environ.get("SANAFE_TPU_NEUROFEM_SEED", "42"))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), jnp.asarray(t, jnp.uint32)
+        )
+        return sigma_v * jax.random.normal(key, v.shape, dtype=v.dtype)
+
+    noise_term = jax.lax.cond(
+        jnp.any(sigma_v != 0.0), _draw_noise, lambda: jnp.zeros_like(v)
     )
-    noise = jax.random.normal(key, v.shape, dtype=v.dtype)
     v = (
         v
         + dt * params["kp"] * u_error
         + dt * params["ki"] * u_integrated
         + dt * u2
-        + params["sigma_v"] * noise
+        + noise_term
         - comp1
     )
 

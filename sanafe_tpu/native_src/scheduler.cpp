@@ -1238,6 +1238,11 @@ double sched_bench_packed(int64_t handle, int32_t T, const uint8_t *masks,
         }
         L = g_chips[handle];
     }
+    if (!L->monotone_recv) {
+        // the lite path this hook profiles requires nondecreasing
+        // per-fleet receive times (see sweep_timestep_lite)
+        return -1.0;
+    }
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
     SweepScratch scratch;
     double acc = 0.0;

@@ -456,6 +456,15 @@ class DeviceProgram:
         layout_box: dict = {}
 
         sweep_jit = None
+        if device_sweep and np.asarray(
+            self.compiled.axon_const_processing_latency
+        ).min(initial=0.0) < 0.0:
+            # Both device tiers retire in-flight messages assuming
+            # nondecreasing receive times per destination fleet, which a
+            # negative processing latency breaks (the native scheduler's
+            # monotone_recv=false path exists for exactly these configs) —
+            # route such chips to the exact host sweep.
+            device_sweep = False
         if device_sweep:
             # Detailed timing ON DEVICE (opt-in tier): the packed masks
             # feed the vmapped event-loop sweep instead of crossing the
