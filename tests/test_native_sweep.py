@@ -46,6 +46,39 @@ def test_native_matches_python_replica_on_ties(tie_heavy_times):
     np.testing.assert_array_equal(times_native, times_python)
 
 
+def test_non_monotone_chip_matches_python_replica():
+    """A negative processing latency breaks the nondecreasing-receive-time
+    invariant, forcing the native scheduler's full-scan (non-lite)
+    retirement path — pin it against the Python replica too."""
+    import sanafe_tpu as sf
+
+    chip = ge._build_chip(tiles_x=2, tiles_y=2, cores_per_tile=2,
+                          neurons_per_core=32, layers=3)
+    if chip._get_native_scheduler() is None:
+        pytest.skip("native scheduler unavailable (no C++ toolchain)")
+
+    def negate(chip):
+        c = chip.compiled
+        c.axon_const_processing_latency = -np.abs(
+            c.axon_const_processing_latency
+        )
+        chip._native = None  # rebuild the native layout from mutated arrays
+        chip._programs.clear()
+        chip._scan_cache.clear()
+        return chip
+
+    chip = negate(chip)
+    assert chip._get_native_scheduler()._lib is not None
+    t_native = _per_step_times(chip, 25)
+
+    chip2 = negate(ge._build_chip(tiles_x=2, tiles_y=2, cores_per_tile=2,
+                                  neurons_per_core=32, layers=3))
+    chip2._native_failed = True
+    t_python = _per_step_times(chip2, 25)
+    np.testing.assert_array_equal(t_native, t_python)
+    assert (t_python != 0).any()
+
+
 def test_tie_heavy_run_is_nontrivial(tie_heavy_times):
     """The fixture must actually exercise congestion/ties: several
     distinct per-step times and nonzero totals, else the equality test
