@@ -26,9 +26,12 @@ import sanafe_tpu as sf
 REF = Path("/root/reference")
 
 
-def _run_one(chip, steps, chunk, timing, spikes: bool) -> None:
+def _run_one(chip, steps, chunk, timing, spikes: bool,
+             device_sweep: bool = False, async_fetch: bool = False) -> None:
+    os.environ["SANAFE_TPU_ASYNC_FETCH"] = "1" if async_fetch else "0"
     with tempfile.TemporaryDirectory() as td:
-        kw = dict(timing_model=timing, heartbeat=0, chunk=chunk)
+        kw = dict(timing_model=timing, heartbeat=0, chunk=chunk,
+                  device_sweep=device_sweep)
         if spikes:
             kw["spike_trace"] = str(Path(td) / "warm.csv")
         chip.sim(chunk, **kw)
@@ -42,7 +45,8 @@ def _run_one(chip, steps, chunk, timing, spikes: bool) -> None:
         total = time.perf_counter() - t0
 
     per = 1e3 / steps
-    print(f"--- timing={timing} spikes={spikes} steps={steps} chunk={chunk}")
+    print(f"--- timing={timing} spikes={spikes} steps={steps} chunk={chunk}"
+          f" device_sweep={device_sweep} async={async_fetch}")
     print(f"total            {total * per:8.3f} ms/step  "
           f"({steps / total:,.0f} ts/s)")
     print(f"dispatch         {chip.neuron_processing_wall * per:8.3f} ms/step")
@@ -71,8 +75,14 @@ def main() -> None:
     if configs in ("all", "simple"):
         _run_one(chip, steps, chunk, "simple", False)
         _run_one(chip, steps, chunk, "simple", True)
+        _run_one(chip, steps, chunk, "simple", True, async_fetch=True)
     if configs in ("all", "detailed"):
         _run_one(chip, steps, chunk, "detailed", True)
+        _run_one(chip, steps, chunk, "detailed", True, async_fetch=True)
+        _run_one(chip, steps, 2 * chunk, "detailed", True, async_fetch=True)
+    if configs in ("all", "device_sweep"):
+        _run_one(chip, steps, chunk, "detailed", True, device_sweep=True,
+                 async_fetch=True)
 
     # raw tunnel D2H bandwidth for a wire-sized buffer
     import jax
