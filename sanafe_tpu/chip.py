@@ -905,7 +905,14 @@ class SpikingChip:
                     if timing_model == "detailed":
                         sim_times = detailed_times
             self.scheduler_wall += time.perf_counter() - sched_start
-        rd.sim_time += float(sim_times.sum())
+        # sequential accumulation (not pairwise np.sum): the reference
+        # folds one retired timestep at a time into the run total
+        # (src/chip.cpp:410-438), and sim() exposes the float64 result
+        # through the API; ~0.1 us/step, invisible next to the sweep
+        acc = rd.sim_time
+        for v in sim_times.tolist():
+            acc += v
+        rd.sim_time = acc
 
         # --- trace writing ---
         spike_state = traces["spike"]
