@@ -132,12 +132,50 @@ def _run_worker(args: list[str]) -> float | None:
     return None
 
 
+def _device_preflight(budget_s: float) -> bool:
+    """The tunneled TPU can be down for a while; probe it in a subprocess
+    (a dead tunnel hangs the first jax op indefinitely) and retry within
+    ``budget_s`` so a transient outage delays the bench instead of turning
+    it into hours of hung workers or a silent zero."""
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=240,
+            )
+            if probe.returncode == 0 and "ok" in probe.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print("bench: device unreachable, retrying...", file=sys.stderr)
+        time.sleep(60)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "_worker":
         _worker(sys.argv[2:])
         return
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     have_dvs = (REF / "snn" / "dvs.yaml").exists()
+
+    budget = float(os.environ.get("SANAFE_BENCH_PREFLIGHT_S", "1800"))
+    if not _device_preflight(budget):
+        print(
+            json.dumps(
+                {
+                    "metric": "dvs_gesture_detailed_timesteps_per_second",
+                    "value": 0.0,
+                    "unit": "timesteps/s",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "device unreachable (tunnel down)"},
+                }
+            )
+        )
+        return
 
     extra: dict = {}
     if which in ("all", "example") or not have_dvs:
