@@ -749,14 +749,21 @@ def make_device_program(
     sync_delay = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
     models_present = frozenset(int(m) for m in np.unique(c.soma_model))
     # The fused roll-up trades one dense [2N, K] read per step for ~20
-    # kernel launches; it wins when the matrix is small. float32-only so the
-    # float64 parity path keeps the reference's exact accumulation shape.
+    # kernel launches; on tunneled/latency-bound deployments the launches
+    # cost far more than the extra HBM read, so the budget is generous
+    # (DVS-gesture's matrix is ~40 MB = ~50 us of HBM traffic per step,
+    # replacing the dozen reduction kernels plus both per-core latency
+    # matvecs). float32-only so the float64 parity path keeps the
+    # reference's exact accumulation shape.
     n_rollup_cols = 9 + 2 * c.n_cores + len(c.perf_col_names)
+    rollup_budget = int(
+        os.environ.get("SANAFE_TPU_ROLLUP_BYTES", str(48 << 20))
+    )
     fused_rollup = (
         fuse
         and dtype == jnp.float32
         and c.neuron_proc_lat_core is not None
-        and 2 * c.n_neurons * n_rollup_cols * 4 <= (16 << 20)
+        and 2 * c.n_neurons * n_rollup_cols * 4 <= rollup_budget
     )
     dense_delivery = False
     n_stats_cols = 0
