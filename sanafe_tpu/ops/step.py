@@ -1411,15 +1411,22 @@ def _conv_deliver(prog, a, fired_f, dtype):
             results[dst_g] = (cur, cnt)
     # Concatenate the per-group results in dest_order and invert the slot
     # permutation with ONE gather + mask (slot-run slicing fragments into
-    # ~1700 pieces per step at DVS scale).
+    # ~1700 pieces per step at DVS scale); currents and arrival counts
+    # share the index, so they gather together as two rows.
     parts_cur = [results[g][0] for g in cd.dest_order]
     parts_cnt = [results[g][1] for g in cd.dest_order]
-    g_cur = parts_cur[0] if len(parts_cur) == 1 else jnp.concatenate(parts_cur)
-    g_cnt = parts_cnt[0] if len(parts_cnt) == 1 else jnp.concatenate(parts_cnt)
+    g_all = jnp.stack(
+        [
+            parts_cur[0] if len(parts_cur) == 1
+            else jnp.concatenate(parts_cur),
+            parts_cnt[0] if len(parts_cnt) == 1
+            else jnp.concatenate(parts_cnt),
+        ]
+    )
     mask = a["conv_out_mask"]
-    gidx = a["conv_out_gidx"]
-    buffer_current = jnp.where(mask, g_cur[gidx], jnp.zeros((), dtype=dtype))
-    any_input = mask & (g_cnt[gidx] > 0)
+    picked = g_all[:, a["conv_out_gidx"]]
+    buffer_current = jnp.where(mask, picked[0], jnp.zeros((), dtype=dtype))
+    any_input = mask & (picked[1] > 0)
     return buffer_current, any_input
 
 
