@@ -83,6 +83,15 @@ NF_F = 6
 # i32 field columns per message
 I_DEST, I_GEO = range(2)
 NF_I = 2
+# packed single-table layout (default): every float field bitcast to the
+# same-width int so ONE aligned 128-row load per lane per iteration feeds
+# the whole event — the extra F_KEYNXT column is msg_gen shifted left by
+# one, replacing the second load at position p+1. One-hot extraction sums
+# integers (exact bit transport; float sums would canonicalize NaN
+# payloads such as dest == -1).
+(P_KEY, P_ADJ, P_PROC, P_MINHOP, P_CAP, P_HOPS1, P_KEYNXT, P_DEST,
+ P_GEO) = range(9)
+NF_P = 9
 
 
 def _pack_geo(c: CompiledChip) -> np.ndarray:
@@ -126,16 +135,30 @@ def _route_mask(geo, lid_x, lid_y, lid_d):
     return entry | xs | ys
 
 
-def _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt):
-    """Build the kernel body for one (lanes, capacity) configuration."""
+def _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt, packed):
+    """Build the kernel body for one (lanes, capacity) configuration.
+
+    ``packed=True`` (default) takes ONE int table whose float fields are
+    bitcast — a single aligned 128-row load per lane per event;
+    ``packed=False`` keeps the original split f32/i32 tables (fallback
+    knob ``SANAFE_TPU_MERGE_PACKED=0`` in case the bitcast does not lower
+    on some backend)."""
     from jax.experimental import pallas as pl
 
     inf = float(np.inf)
+    idt = jnp.int64 if jnp.dtype(fdt).itemsize == 8 else jnp.int32
 
-    def kernel(ff_ref, fi_ref, start_ref, end_ref, cand0_ref,
-               sim_ref, ovf_ref,
-               density, fin, cand, head, r_recv, r_proc, r_adj, r_geo,
-               regs):
+    def kernel(*refs):
+        if packed:
+            (tb_ref, start_ref, end_ref, cand0_ref,
+             sim_ref, ovf_ref,
+             density, fin, cand, head, r_recv, r_proc, r_adj, r_geo,
+             regs) = refs
+        else:
+            (ff_ref, fi_ref, start_ref, end_ref, cand0_ref,
+             sim_ref, ovf_ref,
+             density, fin, cand, head, r_recv, r_proc, r_adj, r_geo,
+             regs) = refs
         # iotas are generated in-kernel (pallas kernels cannot capture
         # array constants)
         lid = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
@@ -208,34 +231,61 @@ def _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt):
             # (provably aligned via pl.multiple_of), element extracted by
             # one-hot — mosaic cannot load at an arbitrary minor-dim index
             io128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            rows_f = []
-            rows_i = []
-            for ln in range(LN):
-                p = pos[ln, 0]
-                p0 = jnp.minimum(p, M - 1)
-                a0 = pl.multiple_of((p0 // 128) * 128, 128)
-                sel0 = io128 == (p0 - a0)[None, None]          # [1,128]
-                r0 = ff_ref[0, ln, :, pl.ds(a0, 128)]          # [NF_F,128]
-                i0 = fi_ref[0, ln, :, pl.ds(a0, 128)]          # [NF_I,128]
-                row_f = jnp.sum(jnp.where(sel0, r0, 0.0), axis=1)
-                row_i = jnp.sum(jnp.where(sel0, i0, 0), axis=1)
-                p1 = jnp.minimum(p + 1, M - 1)
-                a1 = pl.multiple_of((p1 // 128) * 128, 128)
-                sel1 = io128 == (p1 - a1)[None, None]
-                r1 = ff_ref[0, ln, 0:1, pl.ds(a1, 128)]        # [1,128]
-                key_nxt = jnp.sum(jnp.where(sel1, r1, 0.0), axis=1)
-                rows_f.append(jnp.concatenate([row_f, key_nxt]))
-                rows_i.append(row_i)
-            RF = jnp.stack(rows_f)                             # [LN,NF_F+1]
-            RI = jnp.stack(rows_i)                             # [LN,NF_I]
-            adj_m = RF[:, F_ADJ:F_ADJ + 1]
-            proc_m = RF[:, F_PROC:F_PROC + 1]
-            min_hop = RF[:, F_MINHOP:F_MINHOP + 1]
-            cap = RF[:, F_CAP:F_CAP + 1]
-            hops1 = RF[:, F_HOPS1:F_HOPS1 + 1]
-            key_next = RF[:, NF_F:NF_F + 1]
-            dest = RI[:, I_DEST:I_DEST + 1]
-            geo = RI[:, I_GEO:I_GEO + 1]
+            if packed:
+                # one load per lane: the whole field table is one int
+                # tensor (floats bitcast at build time; the F_KEYNXT
+                # column replaces the old second load at position p+1);
+                # one-hot extraction sums INTEGERS, which transports the
+                # bit patterns exactly
+                rows = []
+                for ln in range(LN):
+                    p = pos[ln, 0]
+                    p0 = jnp.minimum(p, M - 1)
+                    a0 = pl.multiple_of((p0 // 128) * 128, 128)
+                    sel0 = io128 == (p0 - a0)[None, None]      # [1,128]
+                    r0 = tb_ref[0, ln, :, pl.ds(a0, 128)]      # [NF_P,128]
+                    rows.append(jnp.sum(jnp.where(sel0, r0, 0), axis=1))
+                R = jnp.stack(rows)                            # [LN,NF_P]
+                RF = jax.lax.bitcast_convert_type(
+                    R[:, :P_KEYNXT + 1], fdt
+                )                                              # [LN,7]
+                adj_m = RF[:, P_ADJ:P_ADJ + 1]
+                proc_m = RF[:, P_PROC:P_PROC + 1]
+                min_hop = RF[:, P_MINHOP:P_MINHOP + 1]
+                cap = RF[:, P_CAP:P_CAP + 1]
+                hops1 = RF[:, P_HOPS1:P_HOPS1 + 1]
+                key_next = RF[:, P_KEYNXT:P_KEYNXT + 1]
+                dest = R[:, P_DEST:P_DEST + 1].astype(jnp.int32)
+                geo = R[:, P_GEO:P_GEO + 1].astype(jnp.int32)
+            else:
+                rows_f = []
+                rows_i = []
+                for ln in range(LN):
+                    p = pos[ln, 0]
+                    p0 = jnp.minimum(p, M - 1)
+                    a0 = pl.multiple_of((p0 // 128) * 128, 128)
+                    sel0 = io128 == (p0 - a0)[None, None]      # [1,128]
+                    r0 = ff_ref[0, ln, :, pl.ds(a0, 128)]      # [NF_F,128]
+                    i0 = fi_ref[0, ln, :, pl.ds(a0, 128)]      # [NF_I,128]
+                    row_f = jnp.sum(jnp.where(sel0, r0, 0.0), axis=1)
+                    row_i = jnp.sum(jnp.where(sel0, i0, 0), axis=1)
+                    p1 = jnp.minimum(p + 1, M - 1)
+                    a1 = pl.multiple_of((p1 // 128) * 128, 128)
+                    sel1 = io128 == (p1 - a1)[None, None]
+                    r1 = ff_ref[0, ln, 0:1, pl.ds(a1, 128)]    # [1,128]
+                    key_nxt = jnp.sum(jnp.where(sel1, r1, 0.0), axis=1)
+                    rows_f.append(jnp.concatenate([row_f, key_nxt]))
+                    rows_i.append(row_i)
+                RF = jnp.stack(rows_f)                         # [LN,NF_F+1]
+                RI = jnp.stack(rows_i)                         # [LN,NF_I]
+                adj_m = RF[:, F_ADJ:F_ADJ + 1]
+                proc_m = RF[:, F_PROC:F_PROC + 1]
+                min_hop = RF[:, F_MINHOP:F_MINHOP + 1]
+                cap = RF[:, F_CAP:F_CAP + 1]
+                hops1 = RF[:, F_HOPS1:F_HOPS1 + 1]
+                key_next = RF[:, NF_F:NF_F + 1]
+                dest = RI[:, I_DEST:I_DEST + 1]
+                geo = RI[:, I_GEO:I_GEO + 1]
             is_real = (dest >= 0) & do_handle
 
             hmask = _route_mask(geo, lid_x, lid_y, lid_d)      # [LN,L]
@@ -315,17 +365,24 @@ def _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt):
 
 
 def _make_wave_call(C, L, LN, M, F, noc_h, lpt, n_waves, fdt,
-                    interpret):
+                    interpret, packed):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt)
+    kernel = _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt, packed)
+    if packed:
+        table_specs = [
+            pl.BlockSpec((1, LN, NF_P, M), lambda w: (w, 0, 0, 0)),
+        ]
+    else:
+        table_specs = [
+            pl.BlockSpec((1, LN, NF_F, M), lambda w: (w, 0, 0, 0)),
+            pl.BlockSpec((1, LN, NF_I, M), lambda w: (w, 0, 0, 0)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(n_waves,),
-        in_specs=[
-            pl.BlockSpec((1, LN, NF_F, M), lambda w: (w, 0, 0, 0)),
-            pl.BlockSpec((1, LN, NF_I, M), lambda w: (w, 0, 0, 0)),
+        in_specs=table_specs + [
             pl.BlockSpec((1, LN, C), lambda w: (w, 0, 0)),
             pl.BlockSpec((1, LN, C), lambda w: (w, 0, 0)),
             pl.BlockSpec((1, LN, C), lambda w: (w, 0, 0)),
@@ -427,32 +484,55 @@ def make_merge_sweep(
     geo_t = jnp.asarray(pad(_pack_geo(c), 0), dtype=jnp.int32)
     inf32 = fdt.type(np.inf)
 
+    packed = os.environ.get("SANAFE_TPU_MERGE_PACKED", "1") != "0"
+    idt = jnp.int64 if fdt.itemsize == 8 else jnp.int32
+
     def sweep_chunk(fired, updated):
         T = fired.shape[0]
         n_waves = -(-T // LN)
         Tp = n_waves * LN
         wave_call = _make_wave_call(C, L, LN, M, F, noc_h, lpt, n_waves,
-                                    fdt, interpret)
+                                    fdt, interpret, packed)
         msg_axon, msg_gen, msg_start, msg_end, build_ovf = build_messages(
             fired, updated
         )
         msg_gen = msg_gen.astype(fdt)
         counts = msg_end[:, -1]                                # [T]
         idx = msg_axon + 1                                     # [T,M]
-        ff = jnp.stack(
-            [
-                msg_gen,
-                jnp.take(adj_t, idx),
-                jnp.take(proc_t, idx),
-                jnp.take(minhop_t, idx),
-                jnp.take(cap_t, idx),
-                jnp.take(hops1_t, idx),
-            ],
-            axis=1,
-        )                                                      # [T,NF_F,M]
-        fi = jnp.stack(
-            [jnp.take(dest_t, idx), jnp.take(geo_t, idx)], axis=1
-        )                                                      # [T,NF_I,M]
+        if packed:
+            bc = lambda v: jax.lax.bitcast_convert_type(v, idt)  # noqa: E731
+            key_next_col = jnp.concatenate(
+                [msg_gen[:, 1:], msg_gen[:, -1:]], axis=1
+            )
+            tb = jnp.stack(
+                [
+                    bc(msg_gen),
+                    bc(jnp.take(adj_t, idx)),
+                    bc(jnp.take(proc_t, idx)),
+                    bc(jnp.take(minhop_t, idx)),
+                    bc(jnp.take(cap_t, idx)),
+                    bc(jnp.take(hops1_t, idx)),
+                    bc(key_next_col),
+                    jnp.take(dest_t, idx).astype(idt),
+                    jnp.take(geo_t, idx).astype(idt),
+                ],
+                axis=1,
+            )                                                  # [T,NF_P,M]
+        else:
+            ff = jnp.stack(
+                [
+                    msg_gen,
+                    jnp.take(adj_t, idx),
+                    jnp.take(proc_t, idx),
+                    jnp.take(minhop_t, idx),
+                    jnp.take(cap_t, idx),
+                    jnp.take(hops1_t, idx),
+                ],
+                axis=1,
+            )                                                  # [T,NF_F,M]
+            fi = jnp.stack(
+                [jnp.take(dest_t, idx), jnp.take(geo_t, idx)], axis=1
+            )                                                  # [T,NF_I,M]
         s0 = jnp.minimum(msg_start, M - 1)
         cand0 = jnp.where(
             msg_start < msg_end,
@@ -473,9 +553,15 @@ def make_merge_sweep(
         cand0_p = jnp.where(
             active[:, None] & (start_p < end_p), cand0[order_p], inf32
         )
+        if packed:
+            tables = (tb[order_p].reshape(n_waves, LN, NF_P, M),)
+        else:
+            tables = (
+                ff[order_p].reshape(n_waves, LN, NF_F, M),
+                fi[order_p].reshape(n_waves, LN, NF_I, M),
+            )
         sim_p, ovf_p = wave_call(
-            ff[order_p].reshape(n_waves, LN, NF_F, M),
-            fi[order_p].reshape(n_waves, LN, NF_I, M),
+            *tables,
             start_p.reshape(n_waves, LN, C),
             end_p.reshape(n_waves, LN, C),
             cand0_p.reshape(n_waves, LN, C),
