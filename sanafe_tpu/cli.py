@@ -24,6 +24,7 @@ instead (-s spikes only, -v potentials, -p perf, -m messages).
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -97,6 +98,61 @@ def parse_args(argv: list[str]) -> tuple[dict, list[str]]:
     return flags, positional
 
 
+def _probe_backend() -> str | None:
+    """Resolve the default jax backend without risking a hang.
+
+    ``jax.default_backend()`` initializes the platform; with a tunneled
+    accelerator plugin whose link is down, that call never returns. When
+    no accelerator plugin is installed the answer is ``cpu`` without any
+    probe; otherwise a subprocess resolves the backend under a timeout.
+    Returns the backend name, or ``None`` when the probe hung/failed."""
+    import subprocess
+    import sys as _sys
+    from importlib.metadata import entry_points
+
+    import jax
+
+    # Accelerators arrive as (a) an explicit platform list in the config /
+    # JAX_PLATFORMS env (possibly set by a sitecustomize shim), or (b) a
+    # pip-installed PJRT plugin. Reading either does not initialize the
+    # backend.
+    platforms = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS")
+        or ""
+    )
+    first = platforms.split(",")[0].strip().lower()
+    if first == "cpu":
+        return "cpu"
+    has_plugin = bool(first)
+    if not has_plugin:
+        try:
+            has_plugin = bool(entry_points(group="jax_plugins"))
+            if not has_plugin:
+                import jax_plugins  # namespace package (pip plugins)
+
+                has_plugin = bool(getattr(jax_plugins, "__path__", None))
+        except Exception:
+            has_plugin = False
+    if not has_plugin:
+        return "cpu"
+    timeout = float(os.environ.get("SANAFE_TPU_PROBE_TIMEOUT", "60"))
+    try:
+        # jax.devices() is the call that actually contacts the device
+        # runtime (plain default_backend() can resolve without touching a
+        # tunneled accelerator, then hang at first use)
+        probe = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if probe.returncode != 0:
+        return None
+    return probe.stdout.strip().splitlines()[-1] if probe.stdout else None
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     flags, positional = parse_args(argv)
@@ -127,8 +183,21 @@ def main(argv: list[str] | None = None) -> int:
     if os.environ.get("SANAFE_TPU_CLI_EXACT", "0") == "1":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-    elif jax.default_backend() == "cpu":
-        jax.config.update("jax_enable_x64", True)
+    else:
+        backend = _probe_backend()
+        if backend == "cpu":
+            jax.config.update("jax_enable_x64", True)
+        elif backend is None:
+            # Accelerator plugin present but unreachable (e.g. a tunneled
+            # device that is down): calling jax.default_backend() here
+            # would hang forever, so fall back to the CPU parity path.
+            print(
+                "Warning: accelerator backend unreachable; "
+                "falling back to CPU (float64).",
+                file=sys.stderr,
+            )
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_enable_x64", True)
 
     if os.environ.get("SANAFE_TPU_SANE_TRACES", "0") != "1":
         record_spikes = flags["record_spikes"]
