@@ -244,7 +244,12 @@ def _wave_kernel_fn(C, L, LN, M, F, noc_h, lpt, fdt, packed):
                     a0 = pl.multiple_of((p0 // 128) * 128, 128)
                     sel0 = io128 == (p0 - a0)[None, None]      # [1,128]
                     r0 = tb_ref[0, ln, :, pl.ds(a0, 128)]      # [NF_P,128]
-                    rows.append(jnp.sum(jnp.where(sel0, r0, 0), axis=1))
+                    # pin the accumulator dtype: numpy-style promotion
+                    # widens int32 sums to int64 under x64, which would
+                    # derail the width-preserving bitcast below
+                    rows.append(
+                        jnp.sum(jnp.where(sel0, r0, 0), axis=1, dtype=idt)
+                    )
                 R = jnp.stack(rows)                            # [LN,NF_P]
                 RF = jax.lax.bitcast_convert_type(
                     R[:, :P_KEYNXT + 1], fdt

@@ -115,6 +115,41 @@ def test_device_sweep_dvs_100():
     assert abs(dev.sum() - host.sum()) / host.sum() < 1e-3
 
 
+def test_merge_sweep_float32_band():
+    """The TPU executes the merge kernel in float32 (mosaic argmin/argmax
+    lower f32 only). Run the interpret-mode kernel at float32 on the conv
+    config and check it stays inside the documented band of the float64
+    tier: uncongested steps to f32 round-off, totals well under the 1%
+    north-star budget."""
+    import jax.numpy as jnp
+
+    from sanafe_tpu.ops.device_sweep import unpack_masks
+    from sanafe_tpu.ops.merge_sweep import make_merge_sweep
+    from sanafe_tpu.ops.step import make_device_program
+
+    arch, net, chip = _build("loihi.yaml", "conv.yaml")
+    prog = make_device_program(chip.compiled, record_fired_axons=True)
+    run = prog.make_scan(30)
+    _, outputs = run(prog.init_state(), np.int64(1))
+    fired, updated = unpack_masks(
+        outputs["masks_packed"], chip.compiled.n_neurons
+    )
+    sim64, need64 = make_merge_sweep(
+        chip.compiled, prog.sync_delay, dtype=jnp.float64, interpret=True
+    )(fired, updated)
+    sim32, need32 = make_merge_sweep(
+        chip.compiled, prog.sync_delay, dtype=jnp.float32, interpret=True
+    )(fired, updated)
+    assert not np.asarray(need64).any()
+    assert not np.asarray(need32).any()
+    s64 = np.asarray(sim64, dtype=np.float64)
+    s32 = np.asarray(sim32, dtype=np.float64)
+    np.testing.assert_allclose(s32, s64, rtol=5e-2)
+    rel = np.abs(s32 - s64) / s64
+    assert np.median(rel) < 1e-5
+    assert abs(s32.sum() - s64.sum()) / s64.sum() < 1e-3
+
+
 def test_device_sweep_stochastic_config():
     """Regression: a fired neuron WITHOUT axons must not reset the
     generation-delay accumulator (its latency flows into the next message
