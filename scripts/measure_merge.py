@@ -21,11 +21,30 @@ from pathlib import Path
 
 REF = Path("/root/reference")
 
+# Offline model on 1000 captured DVS steps (msgs/step: median 3150,
+# p90 6322, p99 14881, max 18963; chunk 500, waves sorted by count,
+# wave cost ~ max count in wave):
+#
+#   cap   lanes  VMEM   fallback%  host-msgs/st  dev-iters/st
+#  16384    8    9.1MB     0.6          105          485
+#  12288   16   13.8MB     1.7          263          237
+#   8192   16    9.3MB     5.8          659          210
+#   6144   16    7.0MB    10.7         1002          185
+#   6144   32   14.0MB    10.7         1002           93
+#   4608   32   10.7MB    20.3         1504           79
+#   3072   32    7.3MB    51.5         2662           39
+#
+# Host side carries ~0.09 ms/step of build+traces plus ~160 ns/msg for
+# fallback sweeps; the best combo depends on the kernel's measured
+# per-iteration cost (pipeline steady state = max(host, device)).
 COMBOS = [
     (16384, 8),
+    (12288, 16),
     (8192, 16),
     (6144, 16),
+    (6144, 32),
     (4608, 32),
+    (3072, 32),
 ]
 
 
