@@ -105,17 +105,24 @@ def _probe_backend() -> str | None:
     accelerator plugin whose link is down, that call never returns. When
     no accelerator plugin is installed the answer is ``cpu`` without any
     probe; otherwise a subprocess resolves the backend under a timeout.
+    ``SANAFE_TPU_PROBE=0`` skips the subprocess (assume the device is
+    reachable and resolve in-process — no duplicate backend init).
     Returns the backend name, or ``None`` when the probe hung/failed."""
+    import importlib.util
     import subprocess
     import sys as _sys
     from importlib.metadata import entry_points
 
     import jax
 
+    if os.environ.get("SANAFE_TPU_PROBE", "1") == "0":
+        return jax.default_backend()
+
     # Accelerators arrive as (a) an explicit platform list in the config /
-    # JAX_PLATFORMS env (possibly set by a sitecustomize shim), or (b) a
-    # pip-installed PJRT plugin. Reading either does not initialize the
-    # backend.
+    # JAX_PLATFORMS env (possibly set by a sitecustomize shim), (b) a
+    # pip-installed PJRT plugin, or (c) a bare libtpu install that
+    # xla_bridge discovers directly. Reading any of these does not
+    # initialize the backend.
     platforms = (
         getattr(jax.config, "jax_platforms", None)
         or os.environ.get("JAX_PLATFORMS")
@@ -133,6 +140,12 @@ def _probe_backend() -> str | None:
 
                 has_plugin = bool(getattr(jax_plugins, "__path__", None))
         except Exception:
+            has_plugin = False
+    if not has_plugin:
+        # Cloud-TPU installs register via libtpu without an entry point
+        try:
+            has_plugin = importlib.util.find_spec("libtpu") is not None
+        except (ImportError, ValueError):
             has_plugin = False
     if not has_plugin:
         return "cpu"
@@ -171,8 +184,6 @@ def main(argv: list[str] | None = None) -> int:
 
     # Reference trace-flag wiring (src/main.cpp:63-67): -s drives the
     # spike/potential/perf/message traces together; only -x acts alone.
-    import os
-
     # The reference computes everything in C++ double; byte-identical trace
     # output needs float64. On CPU backends that is free, so enable it by
     # default; on accelerators keep the fast float32 path (bit-exact spike
@@ -186,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
     else:
         backend = _probe_backend()
         if backend == "cpu":
+            # pin the platform too: the decision must bind the main
+            # process even if its own backend resolution would differ
+            # (e.g. an accelerator the detection above cannot see). Under
+            # SANAFE_TPU_PROBE=0 the backend already initialized
+            # in-process (as cpu), making the pin redundant — skip the
+            # RuntimeError it would raise.
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except RuntimeError:
+                pass
             jax.config.update("jax_enable_x64", True)
         elif backend is None:
             # Accelerator plugin present but unreachable (e.g. a tunneled

@@ -76,6 +76,9 @@ def main() -> None:
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     for cap, lanes in COMBOS:
         env = dict(os.environ)
+        # an ambient merge-specific override would silently win over the
+        # per-combo cap (default_merge_cap checks it first)
+        env.pop("SANAFE_TPU_MERGE_CAP", None)
         env["SANAFE_TPU_SWEEP_CAP"] = str(cap)
         env["SANAFE_TPU_MERGE_LANES"] = str(lanes)
         try:
