@@ -59,6 +59,8 @@ from .trace import (
 
 TIMING_MODELS = ("simple", "detailed", "cycle")
 HEARTBEAT_TIMESTEPS = 100  # src/chip.hpp:38
+# chunk outputs that stay on the device unless a fallback needs them
+DEVICE_RESIDENT = ("masks_device", "spikes_device")
 
 
 class _FetchAhead:
@@ -86,7 +88,8 @@ class _FetchAhead:
             self._fetched = {
                 key: np.asarray(value)
                 for key, value in self._outputs.items()
-                if key != "masks_device" and isinstance(value, jax.Array)
+                if key not in DEVICE_RESIDENT
+                and isinstance(value, jax.Array)
             }
         except BaseException as exc:  # re-raised on the consumer thread
             self._error = exc
@@ -517,9 +520,9 @@ class SpikingChip:
                 # transfer overlaps the PREVIOUS chunk's host-side sweep
                 # instead of serializing with it at np.asarray() time.
                 for key, value in outputs.items():
-                    if key == "masks_device":
-                        # stays device-resident; fetched only if the
-                        # device sweep's capacity flag trips
+                    if key in DEVICE_RESIDENT:
+                        # fetched only if a sweep/sparse-spike fallback
+                        # trips
                         continue
                     copy_async = getattr(value, "copy_to_host_async", None)
                     if copy_async is not None:
@@ -687,8 +690,20 @@ class SpikingChip:
 
             wire = np.asarray(outputs["wire"])
             self.message_processing_wall += time.perf_counter() - fetch_start
-            outputs = decode_wire(wire, outputs["wire_layout"])
+            decoded = decode_wire(wire, outputs["wire_layout"])
+            for key in DEVICE_RESIDENT + ("sim_device", "sweep_overflow"):
+                if key in outputs and key not in decoded:
+                    decoded[key] = outputs[key]
+            outputs = decoded
             fetch_start = time.perf_counter()
+        if "spike_idx" in outputs:
+            # sparse spike wire: rebuild the packed plane host-side so the
+            # byte-exact downstream writers are unchanged; burst steps
+            # (count > K) fetch their full plane from the device
+            outputs = dict(outputs)
+            outputs["spike_log_packed"] = self._sparse_spikes_to_packed(
+                outputs, masks_device
+            )
         if "packed" in outputs:
             # Whole-chunk Pallas path (ops/pallas_chunk.py): ONE fetched
             # buffer carrying on-device counter/energy sums + the packed
@@ -1077,6 +1092,54 @@ class SpikingChip:
             ]
             self._spike_labels = labels
         return labels
+
+    def _sparse_spikes_to_packed(
+        self, outputs: dict, masks_device
+    ) -> np.ndarray:
+        """Rebuild per-step packed spike planes from the sparse wire
+        (``spike_idx`` [T,K] indices into spike_log_slots order, ``spike_cnt``
+        [T]). Steps whose count overflowed K take their plane from the
+        device-resident fallback (``spikes_device``, or the sweep tier's
+        ``masks_device``)."""
+        c = self.compiled
+        idx = np.asarray(outputs.pop("spike_idx")).astype(np.int64)
+        cnt = np.asarray(outputs.pop("spike_cnt")).astype(np.int64)
+        spikes_dev = outputs.pop("spikes_device", None)
+        T, K = idx.shape
+        S = len(c.spike_log_slots)
+        nb = -(-S // 8)
+        buf = np.zeros((T, nb), dtype=np.uint8)
+        ok = cnt <= K
+        sel = (idx < S) & ok[:, None]
+        rows, _ = np.nonzero(sel)
+        bits = idx[sel]
+        np.bitwise_or.at(
+            buf.reshape(-1),
+            rows * nb + (bits >> 3),
+            (128 >> (bits & 7)).astype(np.uint8),
+        )
+        over = np.nonzero(~ok)[0]
+        if len(over):
+            take = jax.numpy.take
+            if spikes_dev is not None:
+                buf[over] = np.asarray(
+                    take(spikes_dev, jax.numpy.asarray(over), axis=0)
+                )
+            elif masks_device is not None:
+                m = np.asarray(
+                    take(masks_device, jax.numpy.asarray(over), axis=0)
+                )
+                fired_all = np.unpackbits(m[:, 0, :], axis=1)[
+                    :, : c.n_neurons
+                ].astype(bool)
+                buf[over] = np.packbits(
+                    fired_all[:, c.spike_log_slots], axis=1
+                )
+            else:
+                raise RuntimeError(
+                    "sparse spike overflow without a fallback plane"
+                )
+        return buf
 
     def _write_spike_rows_native(
         self, outputs: dict, masks_device, t0: int, sink

@@ -356,6 +356,20 @@ class DeviceProgram:
     dense_delivery: bool = False
     n_stats_cols: int = 0
 
+    def sparse_spike_k(self) -> int:
+        """Fixed per-step index budget for the sparse spike wire, or 0 for
+        packed bit planes. Firing is sparse on large chips (DVS-gesture:
+        ~364 of 18.7k neurons/step), so shipping up to K uint16 indices
+        (+ a count and a device-resident fallback plane for burst steps)
+        beats the S/8-byte plane on transfer-bound links. Only pays when
+        the plane is big: require S >= 16*K (plane >= 2x the index rows).
+        Tune/disable with SANAFE_TPU_SPARSE_SPIKES (0 = off)."""
+        k = int(os.environ.get("SANAFE_TPU_SPARSE_SPIKES", "512"))
+        s = len(self.compiled.spike_log_slots)
+        if k <= 0 or s < 16 * k:
+            return 0
+        return k
+
     def init_state(self) -> dict[str, jnp.ndarray]:
         c = self.compiled
         n = c.n_neurons
@@ -520,9 +534,24 @@ class DeviceProgram:
                     fired_bits, _ = unpack_masks(
                         masks_device, self.compiled.n_neurons
                     )
-                    outputs["spike_log_packed"] = jax.vmap(_packbits)(
-                        fired_bits[:, self.arrays["spike_log_slots"]]
-                    )
+                    fired_log = fired_bits[:, self.arrays["spike_log_slots"]]
+                    k = self.sparse_spike_k()
+                    if k:
+                        s = fired_log.shape[1]
+                        idt = (jnp.uint16 if s < 2**16 - 1
+                               else jnp.int32)
+                        outputs["spike_idx"] = jax.vmap(
+                            lambda f: jnp.where(f, size=k, fill_value=s)[0]
+                        )(fired_log).astype(idt)
+                        outputs["spike_cnt"] = fired_log.sum(
+                            axis=1, dtype=jnp.int32
+                        )
+                        # overflow steps unpack from masks_device
+                    else:
+                        outputs["spike_log_packed"] = jax.vmap(_packbits)(
+                            fired_log
+                        )
+            spikes_device = outputs.pop("spike_plane", None)
             # Consolidate every per-step [T, ...] output into ONE uint8
             # "wire" buffer so the host pays a single device->host
             # round-trip per chunk (high-latency links charge per tensor).
@@ -544,6 +573,9 @@ class DeviceProgram:
             if masks_device is not None:
                 # device-resident; only fetched on sweep overflow
                 outputs["masks_device"] = masks_device
+            if spikes_device is not None:
+                # device-resident; only fetched on sparse-spike overflow
+                outputs["spikes_device"] = spikes_device
             return state, outputs
 
         def run_chunk(state, t0, feeds=None):
@@ -1273,7 +1305,20 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
         # when the fired masks are already streamed (detailed timing), the
         # host derives the spike log from them instead of paying a second
         # per-step transfer (chip.py _process_chunk_outputs)
-        outputs["spike_log_packed"] = _packbits(fired[a["spike_log_slots"]])
+        fired_log = fired[a["spike_log_slots"]]
+        k = prog.sparse_spike_k()
+        if k:
+            s = fired_log.shape[0]
+            idt = jnp.uint16 if s < 2**16 - 1 else jnp.int32
+            outputs["spike_idx"] = jnp.where(
+                fired_log, size=k, fill_value=s
+            )[0].astype(idt)
+            outputs["spike_cnt"] = fired_log.sum(dtype=jnp.int32)
+            # full plane for steps whose count overflows K; stays
+            # device-resident (make_scan pops it out of the wire)
+            outputs["spike_plane"] = _packbits(fired_log)
+        else:
+            outputs["spike_log_packed"] = _packbits(fired_log)
     if prog.record_potentials:
         outputs["potential_log"] = potential[a["potential_log_slots"]]
     if prog.record_u:

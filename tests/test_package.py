@@ -477,3 +477,82 @@ def test_wire_consolidation_roundtrip_f32():
     pa = np.asarray(r["potential_trace"].data)
     pb = np.asarray(r2["potential_trace"].data)
     assert np.allclose(pa, pb, atol=1e-5)
+
+
+def _sparse_spike_chip():
+    """8192-neuron chip with log_spikes on every neuron: one group fires
+    every step (100 spikes), one every 3rd step (300 more), the rest are
+    silent — step counts alternate 100/400 so a small K exercises both the
+    index path and the overflow fallback."""
+    from helpers import build_arch
+
+    from sanafe_tpu.attributes import Attribute
+    from sanafe_tpu.network import NeuronConfiguration
+
+    arch = build_arch(n_tiles=4, cores_per_tile=2, max_neurons=1024)
+    net = sf.Network()
+
+    def group(name, n, bias):
+        return net.create_neuron_group(
+            name, n,
+            NeuronConfiguration(
+                model_attributes={
+                    "threshold": Attribute(1.0),
+                    "reset": Attribute(0.0),
+                    "bias": Attribute(bias),
+                    "leak_decay": Attribute(1.0),
+                },
+                log_spikes=True,
+            ),
+        )
+
+    groups = [group("fast", 100, 1.2), group("slow", 300, 0.4),
+              group("quiet", 7792, 0.0)]
+    cores = arch.cores()
+    i = 0
+    for g in groups:
+        for neuron in g:
+            neuron.map_to_core(cores[i % len(cores)])
+            i += 1
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    return chip, net
+
+
+def _sparse_spike_run(tmp_path, name, sparse_k, **sim_kw):
+    import os
+
+    import jax
+
+    chip, _ = _sparse_spike_chip()
+    out = tmp_path / f"{name}.csv"
+    os.environ["SANAFE_TPU_SPARSE_SPIKES"] = str(sparse_k)
+    os.environ["SANAFE_PALLAS_CHUNK"] = "0"
+    jax.config.update("jax_enable_x64", False)
+    try:
+        chip.sim(40, heartbeat=0, spike_trace=str(out), chunk=20,
+                 **sim_kw)
+        chip.close()
+    finally:
+        jax.config.update("jax_enable_x64", True)
+        del os.environ["SANAFE_TPU_SPARSE_SPIKES"]
+        del os.environ["SANAFE_PALLAS_CHUNK"]
+    return out.read_bytes()
+
+
+def test_sparse_spike_wire_matches_packed(tmp_path):
+    """The sparse spike wire (fixed-K index rows + device-resident
+    fallback plane, ops/step.py sparse_spike_k) must reproduce spikes.csv
+    byte-for-byte against the packed-plane wire, including when most
+    steps overflow K (K=16 < every step's count) and on the device-sweep
+    tier whose fallback unpacks from masks_device."""
+    packed = _sparse_spike_run(tmp_path, "packed", 0)
+    assert packed.count(b"\n") > 4000  # real spike volume
+    sparse = _sparse_spike_run(tmp_path, "sparse", 512)
+    assert sparse == packed
+    overflow = _sparse_spike_run(tmp_path, "overflow", 16)
+    assert overflow == packed
+    sweep = _sparse_spike_run(
+        tmp_path, "sweep", 16, timing_model="detailed", device_sweep=True
+    )
+    assert sweep == packed
