@@ -680,8 +680,6 @@ class SpikingChip:
         prog_sync = c.arch.ts_sync_delay_table.get(c.mapped_tiles)
 
         masks_device = outputs.get("masks_device")
-        sim_device = outputs.get("sim_device")
-        sweep_overflow = outputs.get("sweep_overflow")
         fetch_start = time.perf_counter()
         if "wire" in outputs:
             # Consolidated scan outputs: ONE device fetch, then split on
@@ -704,6 +702,10 @@ class SpikingChip:
             outputs["spike_log_packed"] = self._sparse_spikes_to_packed(
                 outputs, masks_device
             )
+        # the device sweep's outputs may ride the wire (one fetch/chunk)
+        # or arrive as their own tensors (float64 named-output path)
+        sim_device = outputs.get("sim_device")
+        sweep_overflow = outputs.get("sweep_overflow")
         if "packed" in outputs:
             # Whole-chunk Pallas path (ops/pallas_chunk.py): ONE fetched
             # buffer carrying on-device counter/energy sums + the packed

@@ -578,6 +578,21 @@ class DeviceProgram:
                 outputs["spikes_device"] = spikes_device
             return state, outputs
 
+        @jax.jit
+        def append_sweep_to_wire(w, sim, overflow):
+            # one fetch per chunk: the sweep outputs ride the same wire
+            # buffer (a separate tensor costs a full link round-trip)
+            return jnp.concatenate(
+                [
+                    w,
+                    jax.lax.bitcast_convert_type(sim, jnp.uint8).reshape(
+                        chunk_len, -1
+                    ),
+                    overflow.astype(jnp.uint8).reshape(chunk_len, -1),
+                ],
+                axis=1,
+            )
+
         def run_chunk(state, t0, feeds=None):
             state, outputs = run_chunk_inner(
                 self.arrays, state, t0, feeds or {}
@@ -587,8 +602,18 @@ class DeviceProgram:
                 outputs["wire_layout"] = layout_box["layout"]
             if sweep_jit is not None:
                 sim, overflow = sweep_jit(outputs["masks_device"])
-                outputs["sim_device"] = sim
-                outputs["sweep_overflow"] = overflow
+                if "wire" in outputs:
+                    outputs["wire"] = append_sweep_to_wire(
+                        outputs["wire"], sim, overflow
+                    )
+                    outputs["wire_layout"] = outputs["wire_layout"] + (
+                        ("sim_device", (), np.dtype(sim.dtype),
+                         sim.dtype.itemsize),
+                        ("sweep_overflow", (), np.dtype(np.bool_), 1),
+                    )
+                else:
+                    outputs["sim_device"] = sim
+                    outputs["sweep_overflow"] = overflow
             return state, outputs
 
         return run_chunk
