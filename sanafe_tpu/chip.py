@@ -500,7 +500,10 @@ class SpikingChip:
             perf_on = traces["perf"].sink.enabled
             while remaining > 0:
                 this_chunk = min(chunk, remaining)
-                scan_key = (prog_key, this_chunk, perf_on, use_device_sweep)
+                # sparse_spike_k is env-tunable between sim() calls, so it
+                # must key the cache alongside the structural flags
+                scan_key = (prog_key, this_chunk, perf_on,
+                            use_device_sweep, prog.sparse_spike_k())
                 run_chunk = self._scan_cache.get(scan_key)
                 if run_chunk is None:
                     run_chunk = self._make_chunk_runner(
