@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
     else:
         checks = [(result["metric"], value, float(baseline["value"]))]
     for key, measured in result.get("extra", {}).items():
+        if key.endswith("_worst_ts_per_s"):
+            # worst-of-N rates swing with tunnel variance (bench.py: up to
+            # +-20% run to run) — report, don't gate, or CI flakes
+            if key in base_extra:
+                print(f"{key}: {float(measured):,.1f} vs baseline "
+                      f"{float(base_extra[key]):,.1f} (report-only)")
+            continue
         if key.endswith("_ts_per_s") and key in base_extra:
             checks.append((key, float(measured), float(base_extra[key])))
     if not checks:

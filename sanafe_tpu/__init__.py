@@ -11,12 +11,22 @@ Public API parity with ``import sanafe`` (reference ``sanafe/__init__.py``,
 
 import os as _os
 
+_cache_configured = False
+
 
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations across processes (DVS-scale chunk programs
     take minutes to compile on TPU; cached reloads take seconds). Honors
     an explicit JAX_COMPILATION_CACHE_DIR / jax.config setting; disable
-    with SANAFE_TPU_COMPILATION_CACHE=0."""
+    with SANAFE_TPU_COMPILATION_CACHE=0.
+
+    Called lazily from ``SpikingChip`` construction, NOT at import time:
+    a library consumer embedding sanafe_tpu must not get process-global
+    JAX config mutated by a mere ``import``."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
     if _os.environ.get("SANAFE_TPU_COMPILATION_CACHE", "1") == "0":
         return
     if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
@@ -43,8 +53,6 @@ def _enable_compilation_cache() -> None:
     except Exception:
         pass  # cache is an optimization; never block import
 
-
-_enable_compilation_cache()
 
 from .arch import (
     Architecture,

@@ -245,6 +245,11 @@ class MappedNeuron:
 
 class SpikingChip:
     def __init__(self, arch: Architecture):
+        # first point a user actually runs compute: set up the persistent
+        # XLA compilation cache here rather than at package import
+        import sanafe_tpu
+
+        sanafe_tpu._enable_compilation_cache()
         self.arch = arch
         self.compiled: Optional[CompiledChip] = None
         self.total_timesteps = 0
@@ -316,6 +321,11 @@ class SpikingChip:
             self._programs.clear()
             self._scan_cache.clear()
             self._device_state = None
+        # spike-trace caches are keyed on label COUNT; a different network
+        # with the same number of logged neurons would stream stale labels
+        self._spike_labels = None
+        self._spike_blob = None
+        self._spike_addresses = None
         self.setup_wall += time.perf_counter() - start
 
     def _merged_groups(self) -> set:

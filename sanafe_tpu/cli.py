@@ -149,21 +149,31 @@ def _probe_backend() -> str | None:
             has_plugin = False
     if not has_plugin:
         return "cpu"
-    timeout = float(os.environ.get("SANAFE_TPU_PROBE_TIMEOUT", "60"))
-    try:
-        # jax.devices() is the call that actually contacts the device
-        # runtime (plain default_backend() can resolve without touching a
-        # tunneled accelerator, then hang at first use)
-        probe = subprocess.run(
-            [_sys.executable, "-c",
-             "import jax; jax.devices(); print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=timeout,
-        )
-    except subprocess.TimeoutExpired:
-        return None
-    if probe.returncode != 0:
-        return None
-    return probe.stdout.strip().splitlines()[-1] if probe.stdout else None
+    timeout = float(os.environ.get("SANAFE_TPU_PROBE_TIMEOUT", "120"))
+    # Retry once: a healthy-but-slow accelerator (tunnel reconnect, cold
+    # runtime) must not get silently pinned to the CPU/float64 path — that
+    # is a large perf cliff, not a graceful fallback.
+    for attempt in range(2):
+        try:
+            # jax.devices() is the call that actually contacts the device
+            # runtime (plain default_backend() can resolve without touching
+            # a tunneled accelerator, then hang at first use)
+            probe = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; jax.devices(); print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            if attempt == 0:
+                print("sanafe_tpu: accelerator probe timed out; "
+                      "retrying once...", file=_sys.stderr)
+                continue
+            return None
+        if probe.returncode != 0:
+            return None
+        return (probe.stdout.strip().splitlines()[-1]
+                if probe.stdout else None)
+    return None
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -411,8 +411,33 @@ def _make_wave_call(C, L, LN, M, F, noc_h, lpt, n_waves, fdt,
             pltpu.VMEM((LN, F), jnp.int32),      # ring geo
             pltpu.VMEM((LN, 128), fdt),  # regs
         ],
+        # At DVS scale the double-buffered message-table block alone is
+        # ~12 MB, over XLA's default 16 MB scoped-VMEM cap (observed OOM
+        # on v5e at M=20480, LN=8: stack = 20.15 MB ~= 3.4x the
+        # single-buffered block estimate). Budget 4x + headroom; v5e has
+        # 128 MB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                4 * _wave_vmem_bytes(C, L, LN, M, F, fdt, packed)
+                + 8 * 1024 * 1024,
+            ),
+        ) if not interpret else None,
         interpret=interpret,
     )
+
+
+def _wave_vmem_bytes(C, L, LN, M, F, fdt, packed) -> int:
+    """Single-buffered VMEM bytes for one wave's blocks + scratch."""
+    isz = fdt.itemsize
+    table = LN * (NF_P if packed else NF_F + NF_I) * M * isz
+    per_core = 3 * LN * C * isz
+    outs = 2 * LN * 128 * 4
+    scratch = (
+        LN * L * isz + 3 * LN * C * isz + LN * C * 4
+        + 3 * LN * F * isz + LN * F * 4 + LN * 128 * isz
+    )
+    return table + per_core + outs + scratch
 
 
 def default_merge_cap(c: CompiledChip) -> int:

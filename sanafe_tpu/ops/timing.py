@@ -6,12 +6,17 @@ Three tiers, mirroring the reference (``src/schedule.cpp``):
   (``ops/step.py``) as segment reductions (src/schedule.cpp:61-102).
 - **detailed**: semi-analytical NoC congestion sweep
   (src/schedule.cpp:208-611). The device streams per-step fired-axon tensors
-  and generation latencies; the host replays the exact serial event sweep
-  here. (An on-device scan formulation is planned; this is the exact
-  reference algorithm for parity.)
-- **cycle**: Booksim2 cycle-accurate model. The external Booksim2 simulator
-  is not available in this rebuild; ``cycle`` maps to the detailed model with
-  a warning (see chip.py).
+  and generation latencies; by default the host replays the exact serial
+  event sweep (this module / native_src/scheduler.cpp). Two on-device
+  reformulations exist as opt-in tiers (``ops/device_sweep.py``,
+  ``ops/merge_sweep.py`` — ``device_sweep=True``), raster-identical with a
+  measured sim_time deviation band (TPU_PARITY.json).
+- **cycle**: flit-level cycle-accurate NoC model, implemented natively in
+  ``native_src/cycle_noc.h`` and run via ``native.run_chunk_cycle`` (see
+  chip.py). The reference's external Booksim2 fork is not fetchable in this
+  environment; the model is pinned by hand-traced flit schedules instead
+  (tests/test_cycle_noc.py). Without the native toolchain, ``cycle`` falls
+  back to the detailed model with a warning.
 
 Message records produced here feed messages.csv / the in-memory message trace.
 """

@@ -114,3 +114,47 @@ def test_dendrite_yaml_shared_input_unit():
     potentials = [row[0] for row in result["potential_trace"].data]
     assert potentials[0] == 0.0
     assert potentials[1] == pytest.approx(10.0)
+
+
+def test_spike_labels_refresh_on_reload(tmp_path):
+    """Reloading a different network with the SAME number of logged
+    neurons must not stream stale group labels into spikes.csv (the
+    label caches were previously invalidated by count only)."""
+    from tests.helpers import build_arch
+    from sanafe_tpu.attributes import Attribute
+
+    def one_net(group_name):
+        net = sf.Network()
+        group = net.create_neuron_group(
+            group_name,
+            1,
+            sf.NeuronConfiguration(
+                model_attributes={
+                    "threshold": Attribute(0.0),
+                    "leak_decay": Attribute(1.0),
+                    "bias": Attribute(1.0),
+                },
+                log_spikes=True,
+            ),
+        )
+        return net, group
+
+    arch = build_arch()
+    chip = sf.SpikingChip(arch)
+    net_a, group_a = one_net("alpha")
+    group_a[0].map_to_core(arch.cores()[0])
+    chip.load(net_a)
+    trace_a = tmp_path / "a.csv"
+    chip.sim(3, spike_trace=trace_a, heartbeat=0)
+    chip.close()
+    assert "alpha.0" in trace_a.read_text()
+
+    net_b, group_b = one_net("beta")
+    group_b[0].map_to_core(arch.cores()[0])
+    chip.load(net_b, overwrite=True)
+    trace_b = tmp_path / "b.csv"
+    chip.sim(3, spike_trace=trace_b, heartbeat=0)
+    chip.close()
+    text_b = trace_b.read_text()
+    assert "alpha" not in text_b
+    assert "beta.0" in text_b

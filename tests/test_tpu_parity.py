@@ -17,12 +17,13 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
-pytestmark = pytest.mark.skipif(
+needs_tpu = pytest.mark.skipif(
     os.environ.get("SANAFE_TPU_RUN_TPU_PARITY") != "1",
     reason="set SANAFE_TPU_RUN_TPU_PARITY=1 on a TPU host to run",
 )
 
 
+@needs_tpu
 @pytest.mark.slow
 def test_tpu_parity_lane(tmp_path):
     out = tmp_path / "tpu_parity.json"
@@ -39,7 +40,7 @@ def test_tpu_parity_lane(tmp_path):
     results = json.loads(out.read_text())
     assert results["pass"]
     assert all(
-        c["raster_byte_identical"] for c in results["configs"]
+        c.get("raster_byte_identical") for c in results["configs"]
     )
 
 
@@ -52,3 +53,12 @@ def test_committed_artifact_is_passing():
     results = json.loads(artifact.read_text())
     assert results["backend"] == "tpu"
     assert results["pass"]
+    host = [c for c in results["configs"] if c.get("tier") == "host_sweep"]
+    assert {c["config"] for c in host} >= {"cfg1", "cfg2_conv", "dvs100"}
+    assert all(c["raster_byte_identical"] for c in host)
+    # the device-sweep tier's measured on-hardware deviation band
+    for c in results["configs"]:
+        if c.get("tier") == "device_sweep" and "per_step_band" in c:
+            assert c["raster_byte_identical"]
+            assert c["per_step_band"]["total_rel_err"] <= 1e-3
+            assert c["per_step_band"]["max_step_rel_err"] <= 0.05
