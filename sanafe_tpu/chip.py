@@ -16,6 +16,7 @@ equivalent).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import os
 import sys
 import threading
@@ -61,6 +62,37 @@ TIMING_MODELS = ("simple", "detailed", "cycle")
 HEARTBEAT_TIMESTEPS = 100  # src/chip.hpp:38
 # chunk outputs that stay on the device unless a fallback needs them
 DEVICE_RESIDENT = ("masks_device", "spikes_device")
+
+
+# Sparse-spike overflow fallback: gather burst-step rows from a
+# device-resident plane. The index argument has a FIXED capacity so the
+# gather compiles exactly once per plane shape — a naive
+# ``jnp.take(plane, over)`` recompiles for every distinct overflow count,
+# and each recompile costs ~0.6 s over the tunneled backend (this was the
+# round-3 simple-tier throughput regression).
+_OVERFLOW_GATHER_CAP = 128
+
+
+@jax.jit
+def _gather_rows_padded(plane, idx):
+    rows = jnp.take(plane, idx, axis=0)
+    if rows.dtype == jnp.bool_:
+        # bool tensors take a pathological transfer path on the tunneled
+        # backend; widen on device
+        rows = rows.astype(jnp.uint8)
+    return rows
+
+
+def _fetch_rows(plane, over: np.ndarray) -> np.ndarray:
+    """Fetch ``plane[over]`` to host numpy with shape-stable compiles."""
+    out = []
+    for i in range(0, len(over), _OVERFLOW_GATHER_CAP):
+        batch = over[i : i + _OVERFLOW_GATHER_CAP]
+        idx = np.zeros(_OVERFLOW_GATHER_CAP, dtype=np.int32)
+        idx[: len(batch)] = batch
+        got = np.asarray(_gather_rows_padded(plane, jnp.asarray(idx)))
+        out.append(got[: len(batch)])
+    return np.concatenate(out, axis=0)
 
 
 class _FetchAhead:
@@ -513,7 +545,8 @@ class SpikingChip:
                 # sparse_spike_k is env-tunable between sim() calls, so it
                 # must key the cache alongside the structural flags
                 scan_key = (prog_key, this_chunk, perf_on,
-                            use_device_sweep, prog.sparse_spike_k())
+                            use_device_sweep, prog.sparse_spike_k(),
+                            prog.sparse_over_rows(this_chunk))
                 run_chunk = self._scan_cache.get(scan_key)
                 if run_chunk is None:
                     run_chunk = self._make_chunk_runner(
@@ -1120,6 +1153,7 @@ class SpikingChip:
         idx = np.asarray(outputs.pop("spike_idx")).astype(np.int64)
         cnt = np.asarray(outputs.pop("spike_cnt")).astype(np.int64)
         spikes_dev = outputs.pop("spikes_device", None)
+        spike_over = outputs.pop("spike_over", None)
         T, K = idx.shape
         S = len(c.spike_log_slots)
         nb = -(-S // 8)
@@ -1134,16 +1168,25 @@ class SpikingChip:
             (128 >> (bits & 7)).astype(np.uint8),
         )
         over = np.nonzero(~ok)[0]
+        if len(over) and spike_over is not None:
+            # burst planes shipped with the chunk: [M][idx*M][plane*M*nb]
+            flat = np.ascontiguousarray(np.asarray(spike_over)).reshape(-1)
+            m = int(flat[:4].view(np.int32)[0])
+            oidx = flat[4 : 4 + 4 * m].view(np.int32)
+            rows = flat[4 + 4 * m : 4 + 4 * m + m * nb].reshape(m, nb)
+            pos = np.searchsorted(oidx, over)
+            hit = (pos < m) & (oidx[np.minimum(pos, m - 1)] == over)
+            buf[over[hit]] = rows[pos[hit]]
+            over = over[~hit]
         if len(over):
-            take = jax.numpy.take
             if spikes_dev is not None:
-                buf[over] = np.asarray(
-                    take(spikes_dev, jax.numpy.asarray(over), axis=0)
-                )
+                rows = _fetch_rows(spikes_dev, over)
+                if rows.shape[1] != nb:
+                    # raw per-neuron rows (bool fired_log), not packed
+                    rows = np.packbits(rows.astype(bool), axis=1)[:, :nb]
+                buf[over] = rows
             elif masks_device is not None:
-                m = np.asarray(
-                    take(masks_device, jax.numpy.asarray(over), axis=0)
-                )
+                m = _fetch_rows(masks_device, over)
                 fired_all = np.unpackbits(m[:, 0, :], axis=1)[
                     :, : c.n_neurons
                 ].astype(bool)

@@ -357,18 +357,36 @@ class DeviceProgram:
     n_stats_cols: int = 0
 
     def sparse_spike_k(self) -> int:
-        """Fixed per-step index budget for the sparse spike wire, or 0 for
-        packed bit planes. Firing is sparse on large chips (DVS-gesture:
-        ~364 of 18.7k neurons/step), so shipping up to K uint16 indices
-        (+ a count and a device-resident fallback plane for burst steps)
-        beats the S/8-byte plane on transfer-bound links. Only pays when
-        the plane is big: require S >= 16*K (plane >= 2x the index rows).
-        Tune/disable with SANAFE_TPU_SPARSE_SPIKES (0 = off)."""
-        k = int(os.environ.get("SANAFE_TPU_SPARSE_SPIKES", "512"))
+        """Fixed per-step index budget for the sparse spike wire, or 0
+        (the default) for packed bit planes. Firing is sparse on large
+        chips (DVS-gesture: ~364 of 18.7k neurons/step), so shipping up
+        to K uint16 indices (+ count, burst planes for steps over K) cuts
+        the wire ~2x vs the S/8-byte plane — but the on-device index
+        extraction (``jnp.where(size=K)`` over [T, S]) measured +80 ms
+        per 500-step DVS chunk on v5e, an order of magnitude more than
+        the ~6 ms of transfer it saves at ~60 MB/s, so packed planes win
+        on this deployment and sparse is opt-in for links slower than
+        ~5 MB/s (SANAFE_TPU_SPARSE_SPIKES=<K>). Requires S >= 16*K so
+        the plane is at least ~2x the index rows."""
+        k = int(os.environ.get("SANAFE_TPU_SPARSE_SPIKES", "0"))
         s = len(self.compiled.spike_log_slots)
         if k <= 0 or s < 16 * k:
             return 0
         return k
+
+    def sparse_over_rows(self, chunk_len: int) -> int:
+        """Burst-plane budget for the sparse spike wire: the chunk program
+        proactively ships the packed planes of the M highest-count steps
+        (``lax.top_k``) so overflow steps (count > K) resolve from the
+        wire instead of a post-hoc device gather. The gather alternative
+        queues behind the NEXT chunk's compute on the device stream —
+        measured ~300 ms per chunk at DVS scale on the tunneled TPU.
+        Tune with SANAFE_TPU_SPARSE_OVER (0 disables)."""
+        if not self.sparse_spike_k():
+            return 0
+        v = os.environ.get("SANAFE_TPU_SPARSE_OVER", "auto")
+        m = max(32, chunk_len // 4) if v == "auto" else int(v)
+        return min(max(m, 0), chunk_len)
 
     def init_state(self) -> dict[str, jnp.ndarray]:
         c = self.compiled
@@ -524,6 +542,7 @@ class DeviceProgram:
                 body, state, (ts, feeds), unroll=unroll
             )
             masks_device = None
+            fired_log = outputs.pop("fired_log", None)
             if sweep_jit is not None:
                 masks_device = outputs.pop("masks_packed")
                 if self.record_spikes:
@@ -535,23 +554,60 @@ class DeviceProgram:
                         masks_device, self.compiled.n_neurons
                     )
                     fired_log = fired_bits[:, self.arrays["spike_log_slots"]]
-                    k = self.sparse_spike_k()
-                    if k:
-                        s = fired_log.shape[1]
-                        idt = (jnp.uint16 if s < 2**16 - 1
-                               else jnp.int32)
-                        outputs["spike_idx"] = jax.vmap(
-                            lambda f: jnp.where(f, size=k, fill_value=s)[0]
-                        )(fired_log).astype(idt)
-                        outputs["spike_cnt"] = fired_log.sum(
-                            axis=1, dtype=jnp.int32
+            spikes_device = None
+            if fired_log is not None:
+                k = self.sparse_spike_k()
+                if k:
+                    s = fired_log.shape[1]
+                    idt = jnp.uint16 if s < 2**16 - 1 else jnp.int32
+                    outputs["spike_idx"] = jax.vmap(
+                        lambda f: jnp.where(f, size=k, fill_value=s)[0]
+                    )(fired_log).astype(idt)
+                    outputs["spike_cnt"] = fired_log.sum(
+                        axis=1, dtype=jnp.int32
+                    )
+                    m_over = self.sparse_over_rows(chunk_len)
+                    if m_over:
+                        # Ship the M highest-count steps' packed planes
+                        # with the chunk (self-describing flat record:
+                        # [M int32][idx int32 * M][plane uint8 * M*nb]),
+                        # so burst steps (count > K) need no post-hoc
+                        # device gather — one would queue behind the NEXT
+                        # chunk's compute on the device stream.
+                        _, top_idx = jax.lax.top_k(
+                            outputs["spike_cnt"], m_over
                         )
-                        # overflow steps unpack from masks_device
-                    else:
-                        outputs["spike_log_packed"] = jax.vmap(_packbits)(
-                            fired_log
+                        top_idx = jnp.sort(top_idx).astype(jnp.int32)
+                        rows = jax.vmap(_packbits)(
+                            jnp.take(fired_log, top_idx, axis=0)
                         )
-            spikes_device = outputs.pop("spike_plane", None)
+                        hdr = jnp.concatenate([
+                            jnp.asarray(
+                                np.frombuffer(
+                                    np.int32(m_over).tobytes(), np.uint8
+                                )
+                            ),
+                            jax.lax.bitcast_convert_type(
+                                top_idx, jnp.uint8
+                            ).reshape(-1),
+                        ])
+                        flat = jnp.concatenate([hdr, rows.reshape(-1)])
+                        stride = -(-flat.shape[0] // chunk_len)
+                        flat = jnp.pad(
+                            flat, (0, stride * chunk_len - flat.shape[0])
+                        )
+                        outputs["spike_over"] = flat.reshape(
+                            chunk_len, stride
+                        )
+                    if sweep_jit is None:
+                        # >M overflow fallback: raw bool rows, gathered
+                        # rarely (host packs them); sweep mode falls back
+                        # to masks_device instead
+                        spikes_device = fired_log
+                else:
+                    outputs["spike_log_packed"] = jax.vmap(_packbits)(
+                        fired_log
+                    )
             # Consolidate every per-step [T, ...] output into ONE uint8
             # "wire" buffer so the host pays a single device->host
             # round-trip per chunk (high-latency links charge per tensor).
@@ -1329,20 +1385,16 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     if prog.record_spikes and not prog.record_fired_axons:
         # when the fired masks are already streamed (detailed timing), the
         # host derives the spike log from them instead of paying a second
-        # per-step transfer (chip.py _process_chunk_outputs)
+        # per-step transfer (chip.py _process_chunk_outputs).
         fired_log = fired[a["spike_log_slots"]]
-        k = prog.sparse_spike_k()
-        if k:
-            s = fired_log.shape[0]
-            idt = jnp.uint16 if s < 2**16 - 1 else jnp.int32
-            outputs["spike_idx"] = jnp.where(
-                fired_log, size=k, fill_value=s
-            )[0].astype(idt)
-            outputs["spike_cnt"] = fired_log.sum(dtype=jnp.int32)
-            # full plane for steps whose count overflows K; stays
-            # device-resident (make_scan pops it out of the wire)
-            outputs["spike_plane"] = _packbits(fired_log)
+        if prog.sparse_spike_k():
+            # raw bool row leaves the scan; index extraction happens once
+            # post-scan over the whole [T, S] block
+            outputs["fired_log"] = fired_log
         else:
+            # default: pack to the S/8-byte plane inside the step (packing
+            # in-scan stacks 2.3 KB/step instead of an 18 KB bool row —
+            # measured 210 vs 230 ms per 500-step DVS chunk on v5e)
             outputs["spike_log_packed"] = _packbits(fired_log)
     if prog.record_potentials:
         outputs["potential_log"] = potential[a["potential_log_slots"]]

@@ -131,3 +131,82 @@ def test_ready_cycle_delays_injection():
     done = 10 + 3 + proc for a zero-hop trip."""
     last, done = run([(0, 0, 0, 0, 10, 4)])
     assert done.tolist() == [17]
+
+
+# ---------------------------------------------------------------------------
+# Bounding property tests (PARITY.md "cycle tier"): the reference's Booksim2
+# fork is unfetchable here, so beyond the hand-traced schedules above, the
+# tier is pinned by analytic invariants any correct flit-level cmesh must
+# satisfy. src/schedule.cpp:104-167 drives the same per-packet quantities.
+# ---------------------------------------------------------------------------
+
+
+def _hops(src_router, dest_router, height=4):
+    sx, sy = src_router // height, src_router % height
+    dx, dy = dest_router // height, dest_router % height
+    return abs(sx - dx) + abs(sy - dy)
+
+
+def _random_batch(rng, n, width=8, height=4, cores_per_router=4):
+    pkts = []
+    for _ in range(n):
+        sr = int(rng.integers(0, width * height))
+        dr = int(rng.integers(0, width * height))
+        sc = sr * cores_per_router + int(rng.integers(0, cores_per_router))
+        dc = dr * cores_per_router + int(rng.integers(0, cores_per_router))
+        ready = int(rng.integers(0, 20))
+        proc = int(rng.integers(1, 12))
+        pkts.append((sr, dr, sc, dc, ready, proc))
+    return pkts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_batch_respects_min_hop_bound(seed):
+    """Every packet's completion is >= its uncontended analytic latency
+    ready + 3*hops + router_delay + 1 + proc (equality proven by the
+    hand-traced single-packet tests): congestion only adds cycles."""
+    rng = np.random.default_rng(seed)
+    pkts = _random_batch(rng, 64)
+    last, done = run(pkts)
+    for (sr, dr, sc, dc, ready, proc), d in zip(pkts, done):
+        lower = ready + 3 * _hops(sr, dr) + 3 + proc
+        assert d >= lower, (sr, dr, ready, proc, d, lower)
+    assert last == done.max()
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_ejection_serialization_throughput_bound(seed):
+    """All packets to ONE destination core: ejection+processing is serial
+    there, so the batch cannot finish before min_uncontended_arrival +
+    sum(proc) - proc_first, and the makespan is >= sum(proc) + 3."""
+    rng = np.random.default_rng(seed)
+    pkts = _random_batch(rng, 32)
+    pkts = [(sr, 0, sc, 0, ready, proc)
+            for (sr, _, sc, _, ready, proc) in pkts]
+    last, done = run(pkts)
+    total_proc = sum(p[5] for p in pkts)
+    min_ready = min(p[4] for p in pkts)
+    assert last >= min_ready + 3 + total_proc
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_added_load_never_speeds_completion(seed):
+    """Makespan is monotone in offered load: running a subset of a batch
+    never finishes later than the full batch."""
+    rng = np.random.default_rng(seed)
+    pkts = _random_batch(rng, 48)
+    last_full, _ = run(pkts)
+    last_half, _ = run(pkts[:24])
+    assert last_half <= last_full
+
+
+def test_proc_cycles_monotone():
+    """Growing one packet's processing time cannot shrink the makespan."""
+    rng = np.random.default_rng(11)
+    pkts = _random_batch(rng, 16)
+    last_a, _ = run(pkts)
+    bumped = [(sr, dr, sc, dc, ready, proc + 50) if i == 7 else p
+              for i, p in enumerate(pkts)
+              for (sr, dr, sc, dc, ready, proc) in [p]]
+    last_b, _ = run(bumped)
+    assert last_b >= last_a

@@ -556,3 +556,16 @@ def test_sparse_spike_wire_matches_packed(tmp_path):
         tmp_path, "sweep", 16, timing_model="detailed", device_sweep=True
     )
     assert sweep == packed
+    # burst-plane budget smaller than the overflow count: the remainder
+    # must fall back to the device gather path and still match
+    import os
+
+    os.environ["SANAFE_TPU_SPARSE_OVER"] = "2"
+    try:
+        tight = _sparse_spike_run(tmp_path, "tight_over", 16)
+        os.environ["SANAFE_TPU_SPARSE_OVER"] = "0"
+        no_over = _sparse_spike_run(tmp_path, "no_over", 16)
+    finally:
+        del os.environ["SANAFE_TPU_SPARSE_OVER"]
+    assert tight == packed
+    assert no_over == packed
