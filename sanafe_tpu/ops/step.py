@@ -530,17 +530,51 @@ class DeviceProgram:
                 fired, updated = unpack_masks(masks_packed, n_neurons)
                 return sweep_fn(fired, updated)
 
+        # feed-forward nets factorize by topological level: batched conv
+        # delivery over the whole chunk + tiny per-level membrane scans
+        # (ops/dag_chunk.py); cyclic/stateful programs take the step scan
+        dag_body = None
+        from .dag_chunk import make_dag_body, plan_dag
+
+        dag_plan = plan_dag(self)
+        if dag_plan is not None:
+            dag_body = make_dag_body(self, dag_plan, chunk_len)
+        # scan path, fused-rollup programs: emit planes from the scan and
+        # run ONE batched roll-up after it (bit-identical to the DAG
+        # engine's; reads the [2N, K] matrix once per chunk, not per step)
+        defer_rollup = (
+            dag_body is None
+            and self.fused_rollup
+            and not self.dense_delivery
+        )
+
         @jax.jit
         def run_chunk_inner(arrays, state, t0, feeds):
             ts = t0 + jnp.arange(chunk_len, dtype=jnp.int64)
 
-            def body(s, xs):
-                t, step_feeds = xs
-                return _timestep(self, arrays, s, t, step_feeds)
+            if dag_body is not None:
+                state, outputs = dag_body(arrays, state, ts, feeds)
+            else:
+                def body(s, xs):
+                    t, step_feeds = xs
+                    return _timestep(self, arrays, s, t, step_feeds,
+                                     defer_rollup=defer_rollup)
 
-            state, outputs = jax.lax.scan(
-                body, state, (ts, feeds), unroll=unroll
-            )
+                state, outputs = jax.lax.scan(
+                    body, state, (ts, feeds), unroll=unroll
+                )
+            if defer_rollup:
+                from .dag_chunk import rollup_stats
+
+                fired_pl = outputs.pop("fired_plane")
+                upd_pl = outputs.pop("upd_plane")
+                stats, opt_perf = rollup_stats(
+                    self, arrays,
+                    fired_pl.astype(self.dtype), upd_pl.astype(self.dtype),
+                )
+                outputs["stats"] = stats
+                if opt_perf is not None:
+                    outputs["opt_perf"] = opt_perf
             masks_device = None
             fired_log = outputs.pop("fired_log", None)
             if sweep_jit is not None:
@@ -1091,10 +1125,18 @@ def _input_update(prog: DeviceProgram, a, t):
     return spike | rate_spike
 
 
-def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
+def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None,
+              defer_rollup=False):
     """One full hardware timestep (neuron phase → axon/message phase →
     energy/counter/timing roll-up). ``feeds`` carries per-step host inputs
-    (TrueNorth LFSR draws, Poisson spikes)."""
+    (TrueNorth LFSR draws, Poisson spikes).
+
+    ``defer_rollup=True`` (fused-rollup programs only): emit the raw
+    fired/updated planes instead of per-step stats so the caller can run
+    ONE batched [T, 2N] @ [2N, K] roll-up for the whole chunk
+    (ops/dag_chunk.py ``rollup_stats``) — the coefficient matrix is then
+    read from HBM once per chunk instead of once per step, and the stats
+    are bit-identical to the DAG engine's."""
     feeds = feeds or {}
     a = arrays
     c = prog.compiled
@@ -1257,6 +1299,11 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
 
     if prog.dense_delivery:
         pass  # stats/opt_perf already computed in the combined matvec
+    elif prog.fused_rollup and defer_rollup:
+        # roll-up deferred to one batched matmul after the scan (see
+        # docstring); the planes ride the scan outputs instead
+        stats = None
+        opt_perf = None
     elif prog.fused_rollup:
         # --- fused roll-up: every counter/energy/latency reduction as one
         # matvec against the precomputed coefficient matrix (see
@@ -1378,7 +1425,12 @@ def _timestep(prog: DeviceProgram, arrays, state, t, feeds=None):
     # tensors take a pathological transfer path. One stats tensor in the
     # program dtype carries everything (counters are exact: < 2^24 per step
     # in float32 programs, < 2^53 in float64).
-    outputs = {"stats": stats}
+    if stats is None:
+        # deferred roll-up: the chunk runner computes stats/opt_perf from
+        # these planes in one batched matmul (dag_chunk.rollup_stats)
+        outputs = {"fired_plane": fired, "upd_plane": updated_or_fired}
+    else:
+        outputs = {"stats": stats}
     if opt_perf is not None:
         # optional per-tile/core/unit perf columns (log_energy/log_latency)
         outputs["opt_perf"] = opt_perf
