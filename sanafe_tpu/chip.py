@@ -134,6 +134,57 @@ class _FetchAhead:
             if self._fetched:
                 return {**self._outputs, **self._fetched}
         return self._outputs
+
+
+class _AsyncTraceWriter:
+    """Order-preserving background writer for trace-file blobs.
+
+    The host has ONE CPU: the detailed sweep (pure CPU, GIL released) and
+    the spikes.csv disk writes (I/O wait) serialize if both run on the
+    simulation thread. Routing the formatted row blobs through this FIFO
+    thread overlaps the disk wait with the next chunk's sweep. Drained
+    before sim() returns so trace files are complete when the call ends.
+    Disable with ``SANAFE_TPU_ASYNC_TRACE=0``.
+    """
+
+    def __init__(self):
+        import queue
+
+        self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            sink, data = item
+            try:
+                if self._error is None:
+                    if isinstance(data, bytes):
+                        sink.write_bytes(data)
+                    else:
+                        sink.write(data)
+            except BaseException as exc:  # re-raised at drain()
+                self._error = exc
+
+    def submit(self, sink, data) -> None:
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+        self._queue.put((sink, data))
+
+    def drain(self) -> None:
+        """Block until every queued write hit its sink, then stop."""
+        self._queue.put(None)
+        self._thread.join()
+        if self._error is not None:
+            error, self._error = self._error, None
+            raise error
+
+
 DEFAULT_CHUNK = 1024
 
 
@@ -301,6 +352,9 @@ class SpikingChip:
         self.message_processing_wall = 0.0
         self.scheduler_wall = 0.0
         self.energy_stats_wall = 0.0
+        # diagnostic (not part of run_summary): time the sim loop spent
+        # blocked waiting for a chunk's device outputs to land on host
+        self.fetch_wait_wall = 0.0
 
         self._device_state = None
         self._nets: list[SpikingNetwork] = []
@@ -477,6 +531,11 @@ class SpikingChip:
         )
 
         traces = self._trace_states
+        self._trace_writer = None
+        if os.environ.get("SANAFE_TPU_ASYNC_TRACE", "1") != "0" and any(
+            state.sink.stream is not None for state in traces.values()
+        ):
+            self._trace_writer = _AsyncTraceWriter()
         record_spikes = traces["spike"].sink.enabled
         record_potentials = traces["potential"].sink.enabled
         record_u = traces["neuron"].sink.enabled
@@ -540,8 +599,21 @@ class SpikingChip:
         interrupted: Optional[BaseException] = None
         try:
             perf_on = traces["perf"].sink.enabled
+            # Head taper: on host-sweep timing models the first chunk's
+            # device compute + transfer is a pipeline bubble (nothing to
+            # sweep yet), so a small first chunk gets the sweep started
+            # ~2x sooner. Later chunks overlap fetch with the previous
+            # chunk's sweep, so they stay full-size.
+            head_taper = 0
+            if timing_model in ("detailed", "cycle") and not use_device_sweep:
+                head_taper = int(
+                    os.environ.get("SANAFE_TPU_HEAD_CHUNK", "128")
+                )
             while remaining > 0:
                 this_chunk = min(chunk, remaining)
+                if 0 < head_taper < this_chunk and remaining > this_chunk:
+                    this_chunk = head_taper
+                head_taper = 0
                 # sparse_spike_k is env-tunable between sim() calls, so it
                 # must key the cache alongside the structural flags
                 scan_key = (prog_key, this_chunk, perf_on,
@@ -583,8 +655,11 @@ class SpikingChip:
                 # process (and double-count) the same chunk again.
                 to_process, pending = pending, None
                 if to_process is not None:
+                    wait_start = time.perf_counter()
+                    got = to_process[0].get()
+                    self.fetch_wait_wall += time.perf_counter() - wait_start
                     self._process_chunk_outputs(
-                        to_process[0].get(), to_process[1], to_process[2],
+                        got, to_process[1], to_process[2],
                         timing_model, rd, heartbeat,
                     )
                 pending = (fetch, t0, this_chunk)
@@ -599,10 +674,13 @@ class SpikingChip:
             # close the traces, then re-raise.
             interrupted = exc
         if pending is not None:
+            wait_start = time.perf_counter()
+            got = pending[0].get()
+            self.fetch_wait_wall += time.perf_counter() - wait_start
             self._process_chunk_outputs(
-                pending[0].get(), pending[1], pending[2], timing_model, rd,
-                heartbeat,
+                got, pending[1], pending[2], timing_model, rd, heartbeat,
             )
+        self._drain_trace_writer()
         if interrupted is not None:
             executed = self.total_timesteps - rd.timestep_start + 1
             rd.timesteps_executed = executed
@@ -1008,7 +1086,11 @@ class SpikingChip:
                     f"{labels[j]},{t0 + i}\n"
                     for i, j in zip(steps_idx, rows_idx)
                 ]
-                spike_state.sink.write("".join(lines))
+                writer = getattr(self, "_trace_writer", None)
+                if writer is not None:
+                    writer.submit(spike_state.sink, "".join(lines))
+                else:
+                    spike_state.sink.write("".join(lines))
             if spike_state.memory is not None:
                 addresses = self._spike_address_cache()
                 per_step: list[list] = [[] for _ in range(length)]
@@ -1242,14 +1324,20 @@ class SpikingChip:
         try:
             text = native_mod.format_spike_rows(
                 packed, row_stride, n_bytes, t0, bit_of_label, blob,
-                label_off, max_row,
+                label_off, max_row, as_bytes=True,
             )
         except native_mod.NativeUnavailable:
             return False
         if text is None:
             return False
         if text:
-            sink.write(text)
+            # bytes blob; the disk wait rides the writer thread so it
+            # overlaps the next chunk's host sweep (one CPU)
+            writer = getattr(self, "_trace_writer", None)
+            if writer is not None:
+                writer.submit(sink, text)
+            else:
+                sink.write_bytes(text)
         return True
 
     def _spike_address_cache(self) -> list:
@@ -1512,7 +1600,14 @@ class SpikingChip:
         ]
         return "\n".join(lines) + "\n"
 
+    def _drain_trace_writer(self) -> None:
+        writer = getattr(self, "_trace_writer", None)
+        self._trace_writer = None
+        if writer is not None:
+            writer.drain()
+
     def close(self) -> None:
+        self._drain_trace_writer()
         for state in self._trace_states.values():
             state.sink.close()
 

@@ -14,7 +14,7 @@ import ctypes
 import os
 import subprocess
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 
@@ -148,13 +148,16 @@ def format_spike_rows(
     blob: bytes,
     label_off: "np.ndarray",
     max_row_bytes: int,
-) -> Optional[str]:
+    as_bytes: bool = False,
+) -> Optional[Union[str, bytes]]:
     """spikes.csv rows ("label,timestep\\n") formatted in C from bit-packed
     fired masks (numpy packbits MSB-first layout), replacing the ~1 us/row
     Python f-string loop. `packed_bits` must be C-contiguous with one
     timestep's fired bits every `row_stride` bytes; label j fires when bit
     `bit_of_label[j]` of its row is set. Returns the CSV text ("" when no
-    rows), or None if the native library is unavailable."""
+    rows) — raw UTF-8 bytes when ``as_bytes`` (skips the decode/encode
+    round-trip on the megabyte-scale DVS blobs) — or None if the native
+    library is unavailable."""
     lib = get_library()
     T = packed_bits.shape[0]
     base = packed_bits.reshape(-1).view(np.uint8)
@@ -163,7 +166,7 @@ def format_spike_rows(
         np.int32(n_bytes),
     )
     if count == 0:
-        return ""
+        return b"" if as_bytes else ""
     out = np.empty(int(count) * max_row_bytes, dtype=np.uint8)
     blob_arr = np.frombuffer(blob, dtype=np.uint8)
     n = lib.format_spike_rows(
@@ -175,7 +178,8 @@ def format_spike_rows(
     )
     if n < 0:
         return None
-    return out[:n].tobytes().decode("utf-8")
+    data = out[:n].tobytes()
+    return data if as_bytes else data.decode("utf-8")
 
 
 def cycle_noc_run(

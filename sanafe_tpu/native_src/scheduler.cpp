@@ -17,11 +17,16 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <mutex>
 #include <queue>
 #include <vector>
+
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 
 #include "cycle_noc.h"
 #if defined(__AVX512F__)
@@ -33,6 +38,52 @@
 #endif
 
 namespace {
+
+// Allocator that backs large blocks with transparent hugepages. The
+// sweep's per-axon tables (AxonHot ~9 MB, route CSR ~5 MB at DVS scale)
+// are read in data-dependent order, a line or two per message — with
+// 4 KiB pages that adds a dTLB miss on top of each cache miss. 2 MiB
+// pages cut the table's page count from thousands to a handful.
+template <typename T>
+struct HugeAlloc {
+    using value_type = T;
+    static constexpr size_t kHuge = size_t(1) << 21;
+    HugeAlloc() = default;
+    template <typename U>
+    HugeAlloc(const HugeAlloc<U> &) {}
+    T *allocate(size_t n) {
+        const size_t bytes = n * sizeof(T);
+        if (bytes >= kHuge) {
+            const size_t padded = (bytes + kHuge - 1) & ~(kHuge - 1);
+            void *p = nullptr;
+            if (posix_memalign(&p, kHuge, padded) == 0) {
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+                madvise(p, padded, MADV_HUGEPAGE);
+#endif
+                return static_cast<T *>(p);
+            }
+        }
+        return static_cast<T *>(::operator new(bytes));
+    }
+    void deallocate(T *p, size_t n) {
+        if (n * sizeof(T) >= kHuge) {
+            std::free(p);
+        } else {
+            ::operator delete(p);
+        }
+    }
+    template <typename U>
+    bool operator==(const HugeAlloc<U> &) const {
+        return true;
+    }
+    template <typename U>
+    bool operator!=(const HugeAlloc<U> &) const {
+        return false;
+    }
+};
+
+template <typename T>
+using HugeVec = std::vector<T, HugeAlloc<T>>;
 
 constexpr int kNorth = 0;
 constexpr int kEast = 1;
@@ -54,27 +105,27 @@ struct ChipLayout {
     // fin' = recv + proc), so retirement only ever pops fleet FRONTS.
     bool monotone_recv = true;
     // per-axon (size n_axons)
-    std::vector<int32_t> src_slot, src_core, dest_core;
-    std::vector<int32_t> src_x, src_y, dest_x, dest_y;
-    std::vector<int32_t> src_core_offset, hops, ordinal;
-    std::vector<double> latency_out, proc_delay, min_hop_delay;
+    HugeVec<int32_t> src_slot, src_core, dest_core;
+    HugeVec<int32_t> src_x, src_y, dest_x, dest_y;
+    HugeVec<int32_t> src_core_offset, hops, ordinal;
+    HugeVec<double> latency_out, proc_delay, min_hop_delay;
     // per-core (size n_cores): global slot range [slot_lo, slot_hi]
     std::vector<int32_t> core_slot_lo, core_slot_hi;
     std::vector<int32_t> core_tile_x, core_tile_y, core_offset;
     // per-core list of axon ids sourced from that core, ascending
     std::vector<int32_t> core_axon_start;  // size n_cores+1 into core_axons
-    std::vector<int32_t> core_axons;
+    HugeVec<int32_t> core_axons;
     // per-slot axon ranges: axons of slot s are [slot_axon_start[s],
     // slot_axon_start[s+1]) in axon-id order (axon ids are slot-major)
-    std::vector<int32_t> slot_axon_start;  // size n_neurons+1
+    HugeVec<int32_t> slot_axon_start;  // size n_neurons+1
     // per-neuron generation-latency components (float64 parity with the
     // reference's accumulation in process_neuron, src/chip.cpp:710-736):
     // lat(n) = base[n] + updated(n)*update[n] + fired(n)*spike[n]
-    std::vector<double> lat_base, lat_update, lat_spike;
+    HugeVec<double> lat_base, lat_update, lat_spike;
     // per-axon cached DOR route links (CSR) + density adjust 1/(2+hops)
-    std::vector<int32_t> route_start;  // size n_axons+1
-    std::vector<int32_t> route_links;
-    std::vector<double> density_adjust;
+    HugeVec<int32_t> route_start;  // size n_axons+1
+    HugeVec<int32_t> route_links;
+    HugeVec<double> density_adjust;
     // Hot per-axon constants packed into one cache line each: the sweep
     // touches ~6 per-axon arrays per message (each ~1.8 MB at DVS scale,
     // far beyond L2), so the scattered loads were one cache miss PER
@@ -83,12 +134,13 @@ struct ChipLayout {
         double proc;      // axon_const_processing_latency
         double min_hop;   // min hop delay
         double adj;       // 1/(2+hops)
+        double lat_out;   // axon-out send latency (latency_out[a])
         int32_t dest;     // dest core
         int32_t route_off;
         int32_t route_len;
         int32_t path_capacity_hops;  // hops+1 (capacity multiplier)
     };
-    std::vector<AxonHot> hot;
+    HugeVec<AxonHot> hot;
 };
 
 // MSB-first bit lookup matching numpy packbits/unpackbits layout.
@@ -552,7 +604,7 @@ void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
             const int32_t a_end = L.slot_axon_start[j + 1];
             for (int32_t a = a_begin; a < a_end; ++a) {
                 const ChipLayout::AxonHot &h = L.hot[a];
-                s.msgs.push_back({acc + L.latency_out[a], h.proc,
+                s.msgs.push_back({acc + h.lat_out, h.proc,
                                   h.min_hop, h.adj, h.dest, h.route_off,
                                   h.route_len, h.path_capacity_hops});
                 acc = 0.0;
@@ -1017,10 +1069,10 @@ int64_t sched_create(
     L->n_cores = n_cores;
     L->n_axons = n_axons;
     L->n_neurons = n_neurons;
-    auto copy32 = [n_axons](std::vector<int32_t> &dst, const int32_t *src) {
+    auto copy32 = [n_axons](HugeVec<int32_t> &dst, const int32_t *src) {
         dst.assign(src, src + n_axons);
     };
-    auto copy64 = [n_axons](std::vector<double> &dst, const double *src) {
+    auto copy64 = [n_axons](HugeVec<double> &dst, const double *src) {
         dst.assign(src, src + n_axons);
     };
     copy32(L->src_slot, axon_src_slot);
@@ -1093,6 +1145,7 @@ int64_t sched_create(
         h.proc = L->proc_delay[a];
         h.min_hop = L->min_hop_delay[a];
         h.adj = L->density_adjust[a];
+        h.lat_out = L->latency_out[a];
         h.dest = L->dest_core[a];
         h.route_off = L->route_start[a];
         h.route_len = L->route_start[a + 1] - L->route_start[a];

@@ -77,6 +77,21 @@ class TraceSink:
         if self.stream is not None:
             self.stream.write(text)
 
+    def write_bytes(self, data: bytes) -> None:
+        """Write pre-encoded UTF-8 rows, bypassing the text layer's
+        encode step when the underlying stream exposes a binary buffer
+        (megabyte-scale spike blobs at DVS scale). Ordering with prior
+        text writes (the CSV header) is kept by flushing the text layer
+        first."""
+        if self.stream is None:
+            return
+        buffer = getattr(self.stream, "buffer", None)
+        if buffer is not None:
+            self.stream.flush()
+            buffer.write(data)
+        else:
+            self.stream.write(data.decode("utf-8"))
+
     def close(self) -> None:
         if self._owns_stream and self.stream is not None:
             self.stream.close()

@@ -19,6 +19,11 @@ from pathlib import Path
 # synchronous fetch so the wall counters see the transfer
 os.environ.setdefault("SANAFE_TPU_ASYNC_FETCH", "0")
 
+try:
+    os.nice(-10)  # outprioritize the tunnel proxy (see bench.py _worker)
+except (OSError, AttributeError):
+    pass
+
 import numpy as np
 
 import sanafe_tpu as sf
@@ -34,9 +39,9 @@ def _run_one(chip, steps, chunk, timing, spikes: bool,
                   device_sweep=device_sweep)
         if spikes:
             kw["spike_trace"] = str(Path(td) / "warm.csv")
-        chip.sim(chunk, **kw)
+        chip.sim(steps, **kw)
         for name in ("neuron_processing", "message_processing", "scheduler",
-                     "energy_stats"):
+                     "energy_stats", "fetch_wait"):
             setattr(chip, f"{name}_wall", 0.0)
         if spikes:
             kw["spike_trace"] = str(Path(td) / "spikes.csv")
@@ -53,9 +58,10 @@ def _run_one(chip, steps, chunk, timing, spikes: bool,
     print(f"wire fetch (C+X) {chip.message_processing_wall * per:8.3f} ms/step")
     print(f"host sweep       {chip.scheduler_wall * per:8.3f} ms/step")
     print(f"energy/stats     {chip.energy_stats_wall * per:8.3f} ms/step")
+    print(f"fetch wait       {chip.fetch_wait_wall * per:8.3f} ms/step")
     other = (total - chip.neuron_processing_wall
              - chip.message_processing_wall - chip.scheduler_wall
-             - chip.energy_stats_wall)
+             - chip.energy_stats_wall - chip.fetch_wait_wall)
     print(f"other (traces..) {other * per:8.3f} ms/step", flush=True)
 
 
