@@ -682,6 +682,10 @@ struct LiteSweep {
 
     bool live() const { return !s.heap.empty(); }
 
+    // Pops every due message off one core's fleet. Does NOT refresh the
+    // core's 8-core block minimum — callers batch that per touched block
+    // (retire()) or per insert (advance()), so a retire event that drains
+    // several cores of one block pays one AVX refresh, not one per core.
     inline void drain_core(int core, double sent_ts) {
         double *hr = s.head_recv.data();
         auto &fleet = s.fleets[core];
@@ -715,7 +719,6 @@ struct LiteSweep {
             __builtin_prefetch(&L.route_links[fleet[head].route_off]);
             hr[core] = fleet[head].recv;
         }
-        refresh_block(core);
     }
 
     inline void retire(double sent_ts) {
@@ -747,6 +750,7 @@ struct LiteSweep {
                     due = static_cast<__mmask8>(due & (due - 1));
                     drain_core(base + l, sent_ts);
                 }
+                refresh_block(base);  // once per touched block
             }
             mv = _mm512_loadu_pd(bm + 8 * vb);  // refreshed by drains
             vmin = _mm512_min_pd(vmin, mv);
