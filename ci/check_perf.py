@@ -52,23 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     baseline = json.loads(BASELINE_PATH.read_text())
     failed = False
     base_extra = baseline.get("extra", {})
-    if baseline.get("metric") == "timesteps_per_second_detailed_example":
-        # pre-DVS-headline baseline format: its value is the example-chip
-        # workload, which now lives in extra — compare what overlaps and
-        # nag for a refresh instead of failing the gate outright
-        base_extra = dict(base_extra)
-        base_extra.setdefault(
-            "example_detailed_ts_per_s", float(baseline["value"])
-        )
-        print("note: baseline predates the DVS headline metric; gating on "
-              "the example workload only — refresh with --update")
-        checks = []
-    elif baseline.get("metric") != result.get("metric"):
+    if baseline.get("metric") != result.get("metric"):
         print(f"baseline metric '{baseline.get('metric')}' != measured "
               f"'{result.get('metric')}'; refresh with --update")
         return 1
-    else:
-        checks = [(result["metric"], value, float(baseline["value"]))]
+    checks = [(result["metric"], value, float(baseline["value"]))]
     for key, measured in result.get("extra", {}).items():
         if key.endswith("_worst_ts_per_s"):
             # worst-of-N rates swing with tunnel variance (bench.py: up to
