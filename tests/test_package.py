@@ -569,3 +569,68 @@ def test_sparse_spike_wire_matches_packed(tmp_path):
         del os.environ["SANAFE_TPU_SPARSE_OVER"]
     assert tight == packed
     assert no_over == packed
+
+
+def _trace_run(tmp_path, name, env: dict, **sim_kw):
+    import os
+
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    out = tmp_path / f"{name}.csv"
+    saved = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        chip.sim(60, heartbeat=0, timing_model="detailed",
+                 spike_trace=str(out), **sim_kw)
+        chip.close()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return out.read_bytes()
+
+
+def test_async_trace_writer_byte_identical(tmp_path):
+    """spikes.csv written through the background writer thread
+    (chip._AsyncTraceWriter) must be byte-identical to the synchronous
+    path, including ordering across chunk boundaries."""
+    sync = _trace_run(tmp_path, "sync", {"SANAFE_TPU_ASYNC_TRACE": "0"},
+                      chunk=16)
+    async_ = _trace_run(tmp_path, "async", {"SANAFE_TPU_ASYNC_TRACE": "1"},
+                        chunk=16)
+    assert len(sync) > 0
+    assert async_ == sync
+
+
+def test_head_taper_chunk_invariance(tmp_path):
+    """The tapered first chunk (SANAFE_TPU_HEAD_CHUNK) only re-slices the
+    scan; results and trace bytes must not change."""
+    tapered = _trace_run(tmp_path, "taper", {"SANAFE_TPU_HEAD_CHUNK": "8"},
+                         chunk=30)
+    flat = _trace_run(tmp_path, "flat", {"SANAFE_TPU_HEAD_CHUNK": "0"},
+                      chunk=30)
+    one = _trace_run(tmp_path, "one", {"SANAFE_TPU_HEAD_CHUNK": "0"},
+                     chunk=60)
+    assert tapered == flat == one
+
+
+def test_async_trace_writer_propagates_sink_errors():
+    """A sink that fails on the writer thread must surface the error from
+    sim() (at drain time), not swallow it."""
+    class _BrokenStream:
+        def write(self, text):
+            raise OSError("disk full")
+
+        def flush(self):
+            pass
+
+    arch, net = sf.load_example()
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    with pytest.raises(OSError, match="disk full"):
+        chip.sim(40, heartbeat=0, timing_model="detailed",
+                 spike_trace=_BrokenStream(), chunk=16)
+    chip.close()
