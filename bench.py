@@ -169,7 +169,10 @@ def _device_preflight(budget_s: float) -> bool:
                 [sys.executable, "-c",
                  "import jax; jax.devices(); print('ok')"],
                 capture_output=True, text=True,
-                timeout=max(30.0, min(90.0, remaining)),
+                # healthy-but-cold first contact can take >120 s over the
+                # tunnel (observed 2026-08-19); give one probe up to 150 s
+                # while still finishing inside the 180 s default budget
+                timeout=max(30.0, min(150.0, remaining)),
             )
             if probe.returncode == 0 and "ok" in probe.stdout:
                 return True

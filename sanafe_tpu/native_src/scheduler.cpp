@@ -21,6 +21,7 @@
 #include <cstring>
 #include <limits>
 #include <mutex>
+#include <optional>
 #include <queue>
 #include <vector>
 
@@ -620,11 +621,11 @@ void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
 // The lite sweep as an explicit state machine: start() seeds the event
 // heap, advance() processes exactly one heap pop (the full body of the
 // former while-loop, same float64 operations in the same order — still
-// bit-identical to sweep_timestep). The split exists so TWO independent
-// timesteps' sweeps can interleave advance() calls in one loop
-// (sweep_timestep_lite_pair): each sweep is a long serial dependence
-// chain stalling on data-dependent L2 loads, and the out-of-order core
-// overlaps the two chains' stalls — measured ~1.5x on one host CPU.
+// bit-identical to sweep_timestep). The split exists so several
+// independent timesteps' sweeps can interleave advance() calls in one
+// loop (sweep_timestep_lite_group below): each sweep is a long serial
+// dependence chain stalling on data-dependent L2 loads, and the
+// out-of-order core overlaps the chains' stalls.
 struct LiteSweep {
     const ChipLayout &L;
     SweepScratch &s;
@@ -827,6 +828,54 @@ double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
     sweep.start();
     while (sweep.live()) sweep.advance();
     return sweep.last_ts;
+}
+
+// Interleave the event sweeps of up to kMaxSweepLanes INDEPENDENT
+// timesteps through one loop (the per-timestep sweeps share no state).
+// Hypothesis: each sweep is a serial dependence chain stalling on
+// data-dependent loads, and round-robining chains overlaps their stalls.
+// MEASURED on this host (scripts/measure_sweep_lanes.py, DVS 500 steps):
+// 2 lanes = 1.02x, 4 = 0.92x, 8 = 0.78x — one sweep's working set
+// already saturates L1/L2, so extra lanes thrash instead of hiding
+// latency. Default stays 1 (serial); the machinery remains for wider-
+// cache hosts via SANAFE_SWEEP_LANES (bit-exact at any lane count —
+// tests/test_native_sweep.py::test_sweep_lane_count_is_bit_exact).
+constexpr int kMaxSweepLanes = 8;
+
+inline int sweep_lanes_from_env() {
+    const char *e = getenv("SANAFE_SWEEP_LANES");
+    int v = e ? atoi(e) : 1;
+    if (v < 1) v = 1;
+    if (v > kMaxSweepLanes) v = kMaxSweepLanes;
+    return v;
+}
+
+void sweep_timestep_lite_group(const ChipLayout &L,
+                               SweepScratch *const *ss, double *out,
+                               int n) {
+    if (n == 1) {  // default: the plain serial loop, no lane overhead
+        LiteSweep sweep(L, *ss[0]);
+        sweep.start();
+        while (sweep.live()) sweep.advance();
+        out[0] = sweep.last_ts;
+        return;
+    }
+    std::optional<LiteSweep> sweeps[kMaxSweepLanes];
+    for (int i = 0; i < n; ++i) {
+        sweeps[i].emplace(L, *ss[i]);
+        sweeps[i]->start();
+    }
+    for (;;) {
+        bool any = false;
+        for (int i = 0; i < n; ++i) {
+            if (sweeps[i]->live()) {
+                sweeps[i]->advance();
+                any = true;
+            }
+        }
+        if (!any) break;
+    }
+    for (int i = 0; i < n; ++i) out[i] = sweeps[i]->last_ts;
 }
 
 // One timestep's event sweep (src/schedule.cpp:208-292). Returns the final
@@ -1240,39 +1289,69 @@ int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
     }
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
     const bool lite = L->monotone_recv;
+    const int lanes = sweep_lanes_from_env();
+    const int32_t n_groups = (T + lanes - 1) / lanes;
 #ifdef _OPENMP
     if (n_threads > 0) omp_set_num_threads(n_threads);
 #pragma omp parallel
     {
         std::vector<std::vector<Msg>> queues;
-        SweepScratch scratch;
+        SweepScratch scratch[kMaxSweepLanes];
 #pragma omp for schedule(dynamic)
-        for (int32_t t = 0; t < T; ++t) {
-            const uint8_t *fired = masks + t * step_stride;
-            const uint8_t *updated = fired + mask_bytes;
+        for (int32_t g = 0; g < n_groups; ++g) {
+            const int32_t t0 = g * lanes;
+            const int n = std::min<int32_t>(lanes, T - t0);
             if (lite) {
-                scratch.init(*L);
-                build_messages_lite(*L, fired, updated, scratch);
-                sim_time[t] = sweep_timestep_lite(*L, scratch) + sync_delay;
+                SweepScratch *sp[kMaxSweepLanes];
+                double out[kMaxSweepLanes];
+                for (int i = 0; i < n; ++i) {
+                    const uint8_t *fired = masks + (t0 + i) * step_stride;
+                    scratch[i].init(*L);
+                    build_messages_lite(*L, fired, fired + mask_bytes,
+                                        scratch[i]);
+                    sp[i] = &scratch[i];
+                }
+                sweep_timestep_lite_group(*L, sp, out, n);
+                for (int i = 0; i < n; ++i) {
+                    sim_time[t0 + i] = out[i] + sync_delay;
+                }
             } else {
-                build_messages_packed(*L, fired, updated, queues);
-                sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+                for (int i = 0; i < n; ++i) {
+                    const uint8_t *fired = masks + (t0 + i) * step_stride;
+                    build_messages_packed(*L, fired, fired + mask_bytes,
+                                          queues);
+                    sim_time[t0 + i] =
+                        sweep_timestep(*L, queues) + sync_delay;
+                }
             }
         }
     }
 #else
     std::vector<std::vector<Msg>> queues;
-    SweepScratch scratch;
-    for (int32_t t = 0; t < T; ++t) {
-        const uint8_t *fired = masks + t * step_stride;
-        const uint8_t *updated = fired + mask_bytes;
+    SweepScratch scratch[kMaxSweepLanes];
+    for (int32_t g = 0; g < n_groups; ++g) {
+        const int32_t t0 = g * lanes;
+        const int n = std::min<int32_t>(lanes, T - t0);
         if (lite) {
-            scratch.init(*L);
-            build_messages_lite(*L, fired, updated, scratch);
-            sim_time[t] = sweep_timestep_lite(*L, scratch) + sync_delay;
+            SweepScratch *sp[kMaxSweepLanes];
+            double out[kMaxSweepLanes];
+            for (int i = 0; i < n; ++i) {
+                const uint8_t *fired = masks + (t0 + i) * step_stride;
+                scratch[i].init(*L);
+                build_messages_lite(*L, fired, fired + mask_bytes,
+                                    scratch[i]);
+                sp[i] = &scratch[i];
+            }
+            sweep_timestep_lite_group(*L, sp, out, n);
+            for (int i = 0; i < n; ++i) {
+                sim_time[t0 + i] = out[i] + sync_delay;
+            }
         } else {
-            build_messages_packed(*L, fired, updated, queues);
-            sim_time[t] = sweep_timestep(*L, queues) + sync_delay;
+            for (int i = 0; i < n; ++i) {
+                const uint8_t *fired = masks + (t0 + i) * step_stride;
+                build_messages_packed(*L, fired, fired + mask_bytes, queues);
+                sim_time[t0 + i] = sweep_timestep(*L, queues) + sync_delay;
+            }
         }
     }
 #endif
@@ -1301,8 +1380,33 @@ double sched_bench_packed(int64_t handle, int32_t T, const uint8_t *masks,
         return -1.0;
     }
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
-    SweepScratch scratch;
     double acc = 0.0;
+    if (phase >= 2) {
+        // phase N >= 2: group sweep with N interleave lanes (caps at
+        // kMaxSweepLanes) — used to pick the SANAFE_SWEEP_LANES default.
+        const int lanes = std::min(phase, kMaxSweepLanes);
+        SweepScratch scratch[kMaxSweepLanes];
+        const int32_t n_groups = (T + lanes - 1) / lanes;
+        for (int32_t it = 0; it < iters; ++it) {
+            for (int32_t g = 0; g < n_groups; ++g) {
+                const int32_t t0 = g * lanes;
+                const int n = std::min<int32_t>(lanes, T - t0);
+                SweepScratch *sp[kMaxSweepLanes];
+                double out[kMaxSweepLanes];
+                for (int i = 0; i < n; ++i) {
+                    const uint8_t *fired = masks + (t0 + i) * step_stride;
+                    scratch[i].init(*L);
+                    build_messages_lite(*L, fired, fired + mask_bytes,
+                                        scratch[i]);
+                    sp[i] = &scratch[i];
+                }
+                sweep_timestep_lite_group(*L, sp, out, n);
+                for (int i = 0; i < n; ++i) acc += out[i] + sync_delay;
+            }
+        }
+        return acc;
+    }
+    SweepScratch scratch;
     for (int32_t it = 0; it < iters; ++it) {
         for (int32_t t = 0; t < T; ++t) {
             const uint8_t *fired = masks + t * step_stride;

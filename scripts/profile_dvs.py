@@ -26,6 +26,11 @@ except (OSError, AttributeError):
 
 import numpy as np
 
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    # run from a checkout, not installed
+    sys.path.insert(0, str(REPO))
+
 import sanafe_tpu as sf
 
 REF = Path("/root/reference")

@@ -86,3 +86,30 @@ def test_tie_heavy_run_is_nontrivial(tie_heavy_times):
     _, times_python = tie_heavy_times
     assert (times_python > 0).all()
     assert len(np.unique(times_python)) >= 3
+
+
+def test_sweep_lane_count_is_bit_exact(monkeypatch):
+    """run_chunk_packed interleaves the sweeps of SANAFE_SWEEP_LANES
+    independent timesteps (sweep_timestep_lite_group); interleaving must
+    not change any step's float64 result. Drive the packed entry point
+    directly with random masks (including a ragged tail group) and pin
+    every lane count to the serial (lanes=1) output."""
+    import numpy as np
+
+    chip = ge._build_chip(tiles_x=3, tiles_y=3, cores_per_tile=3,
+                          neurons_per_core=48, layers=4)
+    native = chip._get_native_scheduler()
+    if native is None:
+        pytest.skip("native scheduler unavailable (no C++ toolchain)")
+    mask_bytes = (chip.compiled.n_neurons + 7) // 8
+    rng = np.random.default_rng(7)
+    # 33 steps: with 8 lanes the tail group has 1 step
+    masks = rng.integers(0, 256, size=(33, 2, mask_bytes), dtype=np.uint8)
+    monkeypatch.setenv("SANAFE_SWEEP_LANES", "1")
+    base = native.run_chunk_packed(masks, 0.5)
+    assert (base > 0).all()
+    for lanes in ("2", "3", "8"):
+        monkeypatch.setenv("SANAFE_SWEEP_LANES", lanes)
+        np.testing.assert_array_equal(
+            native.run_chunk_packed(masks, 0.5), base
+        )
