@@ -127,6 +127,14 @@ struct ChipLayout {
     HugeVec<int32_t> route_start;  // size n_axons+1
     HugeVec<int32_t> route_links;
     HugeVec<double> density_adjust;
+    // density adjust indexed by path_capacity_hops (= hops+1):
+    // adj_by_cap[h+1] == 1/(2+h) == density_adjust[a]. Lets MsgLite and
+    // FleetLite carry a 1-byte cap_hops instead of an 8-byte double.
+    std::vector<double> adj_by_cap;
+    // True when every per-axon field fits the narrow MsgLite encoding
+    // (dest < 2^15, route_len and hops+1 < 2^8); always true for real
+    // meshes (the reference caps at 8x4 tiles), checked at build time.
+    bool lite_fields_ok = true;
     // Hot per-axon constants packed into one cache line each: the sweep
     // touches ~6 per-axon arrays per message (each ~1.8 MB at DVS scale,
     // far beyond L2), so the scattered loads were one cache miss PER
@@ -412,12 +420,14 @@ struct MsgLite {
     double gen;
     double proc;
     double min_hop;
-    double adj;
-    int32_t dest;        // -1 => placeholder
     int32_t route_off;
-    int32_t route_len;
-    int32_t cap_hops;    // hops+1
+    int16_t dest;        // -1 => placeholder
+    uint8_t route_len;
+    uint8_t cap_hops;    // hops+1; adj = ChipLayout::adj_by_cap[cap_hops]
 };
+static_assert(sizeof(MsgLite) == 32,
+              "MsgLite must stay two per cache line; the per-step message "
+              "buffer streams through L2 once per build and once per sweep");
 
 // In-flight entry with the retirement-relevant fields embedded, so the
 // retirement walk reads one sequential 32-byte record per retired
@@ -425,10 +435,12 @@ struct MsgLite {
 struct FleetLite {
     double recv;
     double proc;
-    double adj;
     int32_t route_off;
-    int32_t route_len;
+    uint8_t route_len;
+    uint8_t cap_hops;    // adj = ChipLayout::adj_by_cap[cap_hops]
+    uint16_t pad_ = 0;
 };
+static_assert(sizeof(FleetLite) == 24, "keep fleet entries compact");
 
 // 16-byte event-heap entry (HeapEntry carries a seq the lite
 // comparator never reads); same CmpSentOnly ordering semantics.
@@ -605,14 +617,16 @@ void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
             const int32_t a_end = L.slot_axon_start[j + 1];
             for (int32_t a = a_begin; a < a_end; ++a) {
                 const ChipLayout::AxonHot &h = L.hot[a];
-                s.msgs.push_back({acc + h.lat_out, h.proc,
-                                  h.min_hop, h.adj, h.dest, h.route_off,
-                                  h.route_len, h.path_capacity_hops});
+                s.msgs.push_back(
+                    {acc + h.lat_out, h.proc, h.min_hop, h.route_off,
+                     static_cast<int16_t>(h.dest),
+                     static_cast<uint8_t>(h.route_len),
+                     static_cast<uint8_t>(h.path_capacity_hops)});
                 acc = 0.0;
             }
         }
         if (acc != 0.0) {
-            s.msgs.push_back({acc, 0.0, 0.0, 0.0, -1, 0, 0, 0});
+            s.msgs.push_back({acc, 0.0, 0.0, 0, -1, 0, 0});
         }
     }
     s.core_begin[L.n_cores] = static_cast<int32_t>(s.msgs.size());
@@ -694,7 +708,7 @@ struct LiteSweep {
         const int32_t size = static_cast<int32_t>(fleet.size());
         while (head < size && sent_ts >= fleet[head].recv) {
             const FleetLite &fe = fleet[head];
-            const double radj = -fe.adj;
+            const double radj = -L.adj_by_cap[fe.cap_hops];
             const int32_t *lp = &L.route_links[fe.route_off];
             for (int32_t k = 0; k < fe.route_len; ++k) {
                 s.density[lp[k]] += radj;
@@ -782,7 +796,7 @@ struct LiteSweep {
         const MsgLite &m = s.msgs[e.idx];
         if (m.dest >= 0) {
             double flow = 0.0;
-            const double adj = m.adj;
+            const double adj = L.adj_by_cap[m.cap_hops];
             const int32_t *lp = &L.route_links[m.route_off];
             for (int32_t k = 0; k < m.route_len; ++k) {
                 double &d = s.density[lp[k]];
@@ -809,7 +823,7 @@ struct LiteSweep {
             auto &fleet = s.fleets[m.dest];
             const bool was_empty = fleet.empty();
             fleet.push_back(
-                {recv, m.proc, m.adj, m.route_off, m.route_len});
+                {recv, m.proc, m.route_off, m.route_len, m.cap_hops});
             if (was_empty) {
                 s.head_recv[m.dest] = recv;
                 refresh_block(m.dest);
@@ -1193,6 +1207,7 @@ int64_t sched_create(
     }
 
     L->hot.resize(n_axons);
+    int32_t max_cap = 0;
     for (int32_t a = 0; a < n_axons; ++a) {
         ChipLayout::AxonHot &h = L->hot[a];
         h.proc = L->proc_delay[a];
@@ -1203,6 +1218,17 @@ int64_t sched_create(
         h.route_off = L->route_start[a];
         h.route_len = L->route_start[a + 1] - L->route_start[a];
         h.path_capacity_hops = L->hops[a] + 1;
+        if (h.path_capacity_hops > max_cap) max_cap = h.path_capacity_hops;
+        if (h.dest >= 32767 || h.route_len > 255 ||
+            h.path_capacity_hops > 255) {
+            L->lite_fields_ok = false;
+        }
+    }
+    L->adj_by_cap.assign(static_cast<size_t>(max_cap) + 1, 0.0);
+    for (int32_t a = 0; a < n_axons; ++a) {
+        // adj is a pure function of hops (1/(2+hops)); index it by the
+        // hops+1 already carried for the path-capacity term
+        L->adj_by_cap[L->hops[a] + 1] = L->density_adjust[a];
     }
 
     // axon ids are slot-major ascending, so a counting pass gives per-slot
@@ -1288,7 +1314,7 @@ int32_t sched_run_chunk_packed(int64_t handle, int32_t T,
         L = g_chips[handle];
     }
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
-    const bool lite = L->monotone_recv;
+    const bool lite = L->monotone_recv && L->lite_fields_ok;
     const int lanes = sweep_lanes_from_env();
     const int32_t n_groups = (T + lanes - 1) / lanes;
 #ifdef _OPENMP
@@ -1374,9 +1400,10 @@ double sched_bench_packed(int64_t handle, int32_t T, const uint8_t *masks,
         }
         L = g_chips[handle];
     }
-    if (!L->monotone_recv) {
+    if (!L->monotone_recv || !L->lite_fields_ok) {
         // the lite path this hook profiles requires nondecreasing
-        // per-fleet receive times (see sweep_timestep_lite)
+        // per-fleet receive times (see sweep_timestep_lite) and
+        // narrow-field-compatible axon constants
         return -1.0;
     }
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
