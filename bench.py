@@ -46,8 +46,13 @@ REF = Path("/root/reference")
 WORKER_TIMEOUT = float(os.environ.get("SANAFE_BENCH_TIMEOUT", "600"))
 
 
-def bench_example() -> float:
-    """Reference-CI workload: example_chip + example_snn, detailed."""
+def bench_example(deadline: float) -> float:
+    """Reference-CI workload: example_chip + example_snn, detailed.
+
+    Round-4 driver evidence lost this number to a worker timeout
+    (BENCH_r04 tail), so every expensive stage is deadline-aware and a
+    RESULT line is printed after each completed repetition (the parent
+    keeps the last one even if the worker is killed mid-run)."""
     import sanafe_tpu as sf
 
     arch_p = REF / "arch" / "example_chip.yaml"
@@ -63,23 +68,34 @@ def bench_example() -> float:
         chip = _build_chip()
     chunk = 262144
     steps = 2 * chunk
+    # warm-up: compiles the chunk program and absorbs the tunnel's
+    # first-fetch stall (up to ~5 min observed)
     chip.sim(chunk, timing_model="detailed", heartbeat=0, chunk=chunk)
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
         chip.sim(steps, timing_model="detailed", heartbeat=0, chunk=chunk)
-        best = max(best, steps / (time.perf_counter() - t0))
+        elapsed = time.perf_counter() - t0
+        best = max(best, steps / elapsed)
+        print(f"RESULT {best:.6f} {best:.6f}", flush=True)
+        if time.monotonic() + 2 * elapsed > deadline:
+            break
     return best
 
 
 def bench_dvs(
-    timing_model: str, device_sweep: bool, reps: int = 3, steps: int = 1000
+    timing_model: str,
+    device_sweep: bool,
+    deadline: float,
+    reps: int = 3,
+    steps: int = 1000,
 ) -> tuple[float, float]:
     """North-star workload: DVS-gesture with spike trace written to disk
     (the acceptance config is 1000 steps + spike traces). Rasters are
     unaffected by the timing tier (tests/test_device_sweep.py) and
     byte-identical to the reference (tests/test_reference_parity.py).
-    Returns (best, worst) timesteps/s across ``reps`` runs."""
+    Returns (best, worst) timesteps/s across ``reps`` runs; a RESULT line
+    is printed after each rep so a mid-run kill keeps earlier reps."""
     import sanafe_tpu as sf
 
     arch = sf.load_arch(REF / "arch" / "loihi.yaml")
@@ -103,14 +119,23 @@ def bench_dvs(
             trace = str(Path(td) / f"spikes{i}.csv")
             t0 = time.perf_counter()
             chip.sim(steps, spike_trace=trace, **kwargs)
-            rates.append(steps / (time.perf_counter() - t0))
+            elapsed = time.perf_counter() - t0
+            rates.append(steps / elapsed)
+            print(
+                f"RESULT {max(rates):.6f} {min(rates):.6f}", flush=True
+            )
+            if time.monotonic() + 2 * elapsed > deadline:
+                break
     return max(rates), min(rates)
 
 
 def _worker(argv: list[str]) -> None:
     """Subprocess entry: run one workload, print its ts/s as the last line
     (best and worst across reps — the tunnel's run-to-run variance is
-    +-20%, and 'robustly above target' means the WORST run clears it)."""
+    +-20%, and 'robustly above target' means the WORST run clears it).
+    RESULT lines stream after every rep, and a soft internal deadline at
+    90% of the parent's budget stops cleanly BEFORE the hard kill, so a
+    slow tunnel day degrades to fewer reps instead of a lost workload."""
     try:
         # The tunnel proxy process contends for the single host CPU while
         # it streams a chunk's wire buffer; at equal priority it steals
@@ -119,16 +144,37 @@ def _worker(argv: list[str]) -> None:
         os.nice(-10)
     except (OSError, AttributeError):
         pass
+    deadline = time.monotonic() + 0.9 * WORKER_TIMEOUT
     which = argv[0]
     if which == "example":
-        best = worst = bench_example()
+        best = worst = bench_example(deadline)
     else:
-        best, worst = bench_dvs(argv[1], device_sweep=argv[2] == "1")
+        best, worst = bench_dvs(
+            argv[1], device_sweep=argv[2] == "1", deadline=deadline
+        )
     print(f"RESULT {best:.6f} {worst:.6f}", flush=True)
 
 
+def _parse_result(stdout) -> tuple[float, float] | None:
+    """Last RESULT line of a worker's stdout (bytes or str), if any."""
+    if stdout is None:
+        return None
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
+    for line in stdout.splitlines()[::-1]:
+        if line.startswith("RESULT "):
+            parts = line.split()
+            best = float(parts[1])
+            worst = float(parts[2]) if len(parts) > 2 else best
+            return best, worst
+    return None
+
+
 def _run_worker(args: list[str]) -> tuple[float, float] | None:
-    """Run one workload subprocess; None on crash/timeout."""
+    """Run one workload subprocess; None on crash/timeout with no
+    partial result. Workers print a RESULT line after every completed
+    repetition, so even a hard timeout keeps the reps that finished
+    (round-4 lost the example workload to exactly this)."""
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "_worker", *args],
@@ -137,17 +183,22 @@ def _run_worker(args: list[str]) -> tuple[float, float] | None:
             timeout=WORKER_TIMEOUT,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    except subprocess.TimeoutExpired:
+        stdout, stderr, rc = out.stdout, out.stderr, out.returncode
+    except subprocess.TimeoutExpired as exc:
+        got = _parse_result(exc.stdout)
+        if got is not None:
+            print(
+                f"bench worker {args} timed out; keeping partial result",
+                file=sys.stderr,
+            )
+            return got
         print(f"bench worker {args} timed out", file=sys.stderr)
         return None
-    for line in out.stdout.splitlines()[::-1]:
-        if line.startswith("RESULT "):
-            parts = line.split()
-            best = float(parts[1])
-            worst = float(parts[2]) if len(parts) > 2 else best
-            return best, worst
-    sys.stderr.write(out.stderr[-2000:])
-    print(f"bench worker {args} failed (rc={out.returncode})", file=sys.stderr)
+    got = _parse_result(stdout)
+    if got is not None:
+        return got
+    sys.stderr.write((stderr or "")[-2000:])
+    print(f"bench worker {args} failed (rc={rc})", file=sys.stderr)
     return None
 
 

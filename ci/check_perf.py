@@ -21,6 +21,10 @@ from pathlib import Path
 BASELINE_PATH = Path(__file__).parent / "perf_baseline.json"
 REPO_ROOT = Path(__file__).parent.parent
 TOLERANCE = 0.10  # fail when >10% slower (check_perf.rb warns at the same)
+# BASELINE.json north star: >=100x the reference binary on DVS detailed.
+# Gated on the WORST-of-N repetition (see main) so passing means the bar
+# holds under the tunnel link's run-to-run variance.
+NORTH_STAR_X = 100.0
 
 
 def run_bench() -> dict:
@@ -57,16 +61,29 @@ def main(argv: list[str] | None = None) -> int:
               f"'{result.get('metric')}'; refresh with --update")
         return 1
     checks = [(result["metric"], value, float(baseline["value"]))]
-    for key, measured in result.get("extra", {}).items():
+    extra = result.get("extra", {})
+    for key, measured in extra.items():
         if key.endswith("_worst_ts_per_s"):
             # worst-of-N rates swing with tunnel variance (bench.py: up to
-            # +-20% run to run) — report, don't gate, or CI flakes
+            # +-20% run to run) — the drift gate uses best-of-N; the
+            # north-star gate below enforces the absolute bar on worst-of-N
             if key in base_extra:
                 print(f"{key}: {float(measured):,.1f} vs baseline "
-                      f"{float(base_extra[key]):,.1f} (report-only)")
+                      f"{float(base_extra[key]):,.1f} (drift: report-only)")
             continue
         if key.endswith("_ts_per_s") and key in base_extra:
             checks.append((key, float(measured), float(base_extra[key])))
+    # North-star gate (BASELINE.json): >=100x the reference binary on DVS
+    # detailed, enforced on the WORST repetition so a pass means the bar
+    # clears under tunnel variance, not just on a good run.
+    worst_x = extra.get("dvs_detailed_worst_vs_baseline")
+    if worst_x is not None:
+        print(f"dvs_detailed_worst_vs_baseline: {float(worst_x):.1f}x "
+              f"(north-star gate: >= {NORTH_STAR_X:.0f}x)")
+        if float(worst_x) < NORTH_STAR_X:
+            print(f"FAIL: worst-of-N DVS detailed below the {NORTH_STAR_X:.0f}x "
+                  "north star")
+            failed = True
     if not checks:
         print("FAIL: no comparable metrics between bench output and "
               "baseline; refresh with --update")

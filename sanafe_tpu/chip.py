@@ -188,6 +188,30 @@ class _AsyncTraceWriter:
 DEFAULT_CHUNK = 1024
 
 
+def _plan_chunks(total: int, chunk: int, taper: int) -> list:
+    """Chunk schedule for one sim() call. With a host-side timing sweep the
+    per-chunk pipeline is: dispatch -> device compute + fetch (overlapped
+    with the PREVIOUS chunk's sweep) -> sweep. Two bubbles remain: the
+    HEAD (nothing to sweep while the first chunk computes/transfers) and
+    the TAIL (the last chunk's sweep overlaps nothing). Tapering both to
+    ``taper`` steps shrinks each bubble ~3x at DVS scale while middle
+    chunks stay full-size; distinct lengths are kept to <=3 extra compiles.
+    """
+    sizes = []
+    rem = total
+    if taper > 0 and rem > taper:
+        sizes.append(taper)  # head
+        rem -= taper
+    mid = rem - taper if taper > 0 and rem > taper else rem
+    while mid > 0:
+        step = min(chunk, mid)
+        sizes.append(step)
+        mid -= step
+    if taper > 0 and rem > taper:
+        sizes.append(taper)  # tail
+    return sizes
+
+
 def _masks_to_fired_gen(c, masks: np.ndarray):
     """Unpack a chunk's [T, 2, nbytes] fired/updated bitmaps into the
     per-step fired-axon matrix and per-neuron float64 generation
@@ -599,26 +623,26 @@ class SpikingChip:
         interrupted: Optional[BaseException] = None
         try:
             perf_on = traces["perf"].sink.enabled
-            # Head taper: on host-sweep timing models the first chunk's
-            # device compute + transfer is a pipeline bubble (nothing to
-            # sweep yet), so a small first chunk gets the sweep started
-            # ~2x sooner. Later chunks overlap fetch with the previous
-            # chunk's sweep, so they stay full-size.
-            head_taper = 0
+            # Head + tail taper on host-sweep timing models: the first
+            # chunk's device compute + transfer and the last chunk's host
+            # sweep are pipeline bubbles that overlap nothing, so both get
+            # a small chunk; middle chunks stay full-size (see
+            # _plan_chunks).
+            taper = 0
             if timing_model in ("detailed", "cycle") and not use_device_sweep:
-                head_taper = int(
+                taper = int(
                     os.environ.get("SANAFE_TPU_HEAD_CHUNK", "128")
                 )
-            while remaining > 0:
-                this_chunk = min(chunk, remaining)
-                if 0 < head_taper < this_chunk and remaining > this_chunk:
-                    this_chunk = head_taper
-                head_taper = 0
-                # sparse_spike_k is env-tunable between sim() calls, so it
-                # must key the cache alongside the structural flags
+            for this_chunk in _plan_chunks(remaining, chunk, taper):
+                # sparse_spike_k / mask-wire config are env-tunable between
+                # sim() calls, so they must key the cache alongside the
+                # structural flags
                 scan_key = (prog_key, this_chunk, perf_on,
                             use_device_sweep, prog.sparse_spike_k(),
-                            prog.sparse_over_rows(this_chunk))
+                            prog.sparse_over_rows(this_chunk),
+                            os.environ.get("SANAFE_TPU_MASK_WIRE", "1"),
+                            os.environ.get("SANAFE_TPU_MASK_WIRE_CAP",
+                                           "768"))
                 run_chunk = self._scan_cache.get(scan_key)
                 if run_chunk is None:
                     run_chunk = self._make_chunk_runner(
@@ -664,7 +688,6 @@ class SpikingChip:
                     )
                 pending = (fetch, t0, this_chunk)
                 t0 += this_chunk
-                remaining -= this_chunk
                 self.total_timesteps += this_chunk
         except KeyboardInterrupt as exc:
             # Graceful interruption between device chunks (the reference
@@ -825,6 +848,43 @@ class SpikingChip:
             outputs = dict(outputs)
             outputs["spike_log_packed"] = self._sparse_spikes_to_packed(
                 outputs, masks_device
+            )
+        if "mw_presence" in outputs:
+            # Sparse delta mask wire (ops/step.py make_scan): rebuild the
+            # exact packed fired/updated planes from the presence bitmap +
+            # compacted nonzero byte values, so every downstream consumer
+            # (native sweep, spike rows, exact energy) sees byte-identical
+            # masks. Deltas are chunk-local (XOR-cumsum seeds at zero).
+            fetch_start = time.perf_counter()
+            outputs = dict(outputs)
+            if bool(np.asarray(outputs["mw_over"])[0]):
+                # per-chunk value budget overflowed: fall back to the
+                # dense device-resident planes (rare; costs one transfer)
+                masks_np = np.asarray(masks_device)
+            else:
+                pres = np.unpackbits(
+                    np.ascontiguousarray(outputs["mw_presence"]), axis=1
+                )
+                nb = (c.n_neurons + 7) // 8
+                pres = pres[:, : 2 * nb].astype(bool)
+                counts = np.asarray(outputs["mw_counts"])
+                vals = np.ascontiguousarray(
+                    outputs["mw_values"]
+                ).reshape(-1)
+                enc = np.zeros(pres.shape, np.uint8)
+                enc[pres] = vals[: int(counts.sum())]
+                masks_np = np.ascontiguousarray(
+                    np.stack(
+                        [
+                            enc[:, :nb],
+                            np.bitwise_xor.accumulate(enc[:, nb:], axis=0),
+                        ],
+                        axis=1,
+                    )
+                )
+            outputs["masks_packed"] = masks_np
+            self.message_processing_wall += (
+                time.perf_counter() - fetch_start
             )
         # the device sweep's outputs may ride the wire (one fetch/chunk)
         # or arrive as their own tensors (float64 named-output path)

@@ -124,7 +124,7 @@ def get_library() -> ctypes.CDLL:
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.cycle_noc_run.restype = ctypes.c_int64
     lib.cycle_noc_run.argtypes = (
-        [ctypes.c_int32] * 8 + [i32p] * 4 + [i64p] * 2 + [i64p]
+        [ctypes.c_int32] * 9 + [i32p] * 4 + [i64p] * 2 + [i64p]
     )
     lib.format_spike_rows.restype = ctypes.c_int64
     lib.format_spike_rows.argtypes = [
@@ -185,11 +185,14 @@ def format_spike_rows(
 def cycle_noc_run(
     src_router, dest_router, src_core, dest_core, ready_cycle, proc_cycles,
     width=8, height=4, cores_per_router=4, buffer_size=8, router_delay=2,
-    link_delay=1, n_cores=None,
+    link_delay=1, subnets=1, n_cores=None,
 ):
     """Run one packet batch through the flit-level cmesh NoC
     (sanafe_tpu/native_src/cycle_noc.h) and return (last_cycle, done_cycles). Test
-    hook for exact cycle-count validation."""
+    hook for exact cycle-count validation. ``subnets`` defaults to 1 so
+    hand-traced single-network schedules stay pinnable; the production
+    cycle tier runs subnets=2, matching the reference's shipped
+    booksim.config (see cycle_noc::Params::subnets for the model)."""
     lib = get_library()
     src_router = _i32(src_router)
     dest_router = _i32(dest_router)
@@ -206,7 +209,7 @@ def cycle_noc_run(
     last = lib.cycle_noc_run(
         np.int32(width), np.int32(height), np.int32(cores_per_router),
         np.int32(buffer_size), np.int32(router_delay), np.int32(link_delay),
-        np.int32(n_cores), np.int32(n),
+        np.int32(subnets), np.int32(n_cores), np.int32(n),
         _ptr(src_router, ctypes.c_int32), _ptr(dest_router, ctypes.c_int32),
         _ptr(src_core, ctypes.c_int32), _ptr(dest_core, ctypes.c_int32),
         _ptr(ready, i64), _ptr(proc, i64), _ptr(done, i64),
@@ -373,7 +376,11 @@ class NativeScheduler:
         phase: int = 1,
     ) -> float:
         """Profiling hook: re-run the packed chunk `iters` times. phase
-        0 times the message build alone; phase 1 times build + sweep."""
+        0 times the message build alone; phase 1 times build + the serial
+        sweep; phase N>=2 times build + the N-lane interleaved group sweep
+        (capped at 8 lanes — scheduler.cpp sweep_timestep_lite_group).
+        Returns -1.0 when the chip lacks the monotone-receive fast path
+        (bench requires the lite sweep); callers must check for this."""
         masks_packed = np.ascontiguousarray(masks_packed, dtype=np.uint8)
         T, planes, mask_bytes = masks_packed.shape
         assert planes == 2

@@ -33,6 +33,18 @@ struct Params {
     // cycles per router traversal: VC alloc (1) + switch alloc (1)
     int router_delay = 2;
     int link_delay = 1;
+    // Physical subnetwork copies (booksim.config `subnets = 2`, the
+    // NanoMesh/Loihi dual-channel NoC): each subnet is an independent set
+    // of routers/links/buffers; injection (source generation pipeline) and
+    // ejection (destination core processing) stay shared, since cores are
+    // physical. The fork's subnet-assignment policy lives inside its
+    // modified Booksim and is not public; stock Booksim2 assigns untyped
+    // traffic uniformly at random (trafficmanager.cpp RandomInt(_subnets-1)),
+    // so this model uses the deterministic analog: per-source round-robin
+    // across subnets, which reproduces the uniform split without RNG state.
+    // Remaining uncertainty (documented in PARITY.md): the fork's exact
+    // per-packet assignment and any subnet-aware arbitration internals.
+    int subnets = 1;
     double clock_period = 1.0e-9;  // seconds per cycle
 };
 
@@ -44,6 +56,7 @@ struct Packet {
     int64_t ready_cycle;       // generation complete at the source
     int64_t proc_cycles;       // ejection processing time at the dest
     int64_t done_cycle = -1;   // filled by run()
+    int32_t subnet = 0;        // physical subnetwork (assigned by run())
 };
 
 // One flit in flight inside the network.
@@ -58,10 +71,14 @@ class Network {
         : p_(params),
           n_routers_(params.width * params.height),
           ports_per_router_(4 + params.cores_per_router),
-          buffers_(static_cast<size_t>(n_routers_) * ports_per_router_),
-          arb_pointer_(static_cast<size_t>(n_routers_) * ports_per_router_,
+          buffers_(static_cast<size_t>(std::max(params.subnets, 1)) *
+                   n_routers_ * ports_per_router_),
+          arb_pointer_(static_cast<size_t>(std::max(params.subnets, 1)) *
+                           n_routers_ * ports_per_router_,
                        0),
-          core_free_(n_cores, 0) {}
+          core_free_(n_cores, 0) {
+        if (p_.subnets < 1) p_.subnets = 1;
+    }
 
     // Run all packets to completion; returns the cycle at which the last
     // packet's destination processing completes. Packets must be grouped by
@@ -99,6 +116,21 @@ class Network {
             if (!current.queue.empty()) sources.push_back(std::move(current));
         }
 
+        // Subnet assignment: per-source round-robin over routed (non-
+        // placeholder) packets — the deterministic analog of stock
+        // Booksim2's uniform-random subnet pick for untyped traffic (see
+        // Params::subnets). Placeholders never enter the network.
+        if (p_.subnets > 1) {
+            for (auto &src : sources) {
+                int32_t next_subnet = 0;
+                for (int32_t idx : src.queue) {
+                    if (packets[idx].dest_router < 0) continue;
+                    packets[idx].subnet = next_subnet;
+                    next_subnet = (next_subnet + 1) % p_.subnets;
+                }
+            }
+        }
+
         int64_t cycle = 0;
         int64_t last_done = 0;
         size_t in_flight = 0;
@@ -127,7 +159,8 @@ class Network {
                 }
                 const int local_port =
                     4 + (pkt.src_core % p_.cores_per_router);
-                auto &buffer = buffer_at(pkt.src_router, local_port);
+                auto &buffer =
+                    buffer_at(pkt.subnet, pkt.src_router, local_port);
                 if (static_cast<int>(buffer.size()) >= p_.buffer_size) {
                     continue;  // backpressure at injection
                 }
@@ -142,23 +175,26 @@ class Network {
             //    one iteration over a single VC reduces to round-robin
             //    output arbitration of head flits).
             struct Move {
-                int32_t router, in_port;
+                int32_t subnet, router, in_port;
                 int32_t dest_router, dest_port;  // dest_port -1 => eject
                 int32_t pkt;
             };
             std::vector<Move> moves;
+            for (int32_t sub = 0; sub < p_.subnets; ++sub) {
             for (int32_t router = 0; router < n_routers_; ++router) {
                 // collect head-flit requests per output
                 // outputs: 0..3 = N/E/S/W link, 4.. = local ejection ports
                 for (int out = 0; out < ports_per_router_; ++out) {
                     int32_t chosen_in = -1;
                     const size_t key =
-                        static_cast<size_t>(router) * ports_per_router_ + out;
+                        (static_cast<size_t>(sub) * n_routers_ + router) *
+                            ports_per_router_ +
+                        out;
                     int pointer = arb_pointer_[key];
                     for (int probe = 0; probe < ports_per_router_; ++probe) {
                         const int in =
                             (pointer + probe) % ports_per_router_;
-                        auto &buffer = buffer_at(router, in);
+                        auto &buffer = buffer_at(sub, router, in);
                         if (buffer.empty()) continue;
                         const Flit &flit = buffer.front();
                         // router pipeline latency before a flit is eligible
@@ -171,35 +207,40 @@ class Network {
                         break;
                     }
                     if (chosen_in < 0) continue;
-                    const Flit flit = buffer_at(router, chosen_in).front();
+                    const Flit flit =
+                        buffer_at(sub, router, chosen_in).front();
                     const Packet &pkt = packets[flit.packet];
                     if (out >= 4) {
-                        // ejection: dest core must be free to accept
+                        // ejection: dest core must be free to accept (the
+                        // core is PHYSICAL and shared across subnets)
                         if (core_free_[pkt.dest_core] > cycle) continue;
-                        moves.push_back(
-                            Move{router, chosen_in, -1, -1, flit.packet});
+                        moves.push_back(Move{sub, router, chosen_in, -1, -1,
+                                             flit.packet});
                     } else {
                         // link traversal: next router input buffer needs a
                         // credit (space)
                         const int32_t next = neighbor(router, out);
                         const int in_port = opposite(out);
-                        auto &next_buffer = buffer_at(next, in_port);
+                        auto &next_buffer = buffer_at(sub, next, in_port);
                         if (static_cast<int>(next_buffer.size()) >=
                             p_.buffer_size) {
                             continue;
                         }
-                        moves.push_back(
-                            Move{router, chosen_in, next, in_port,
-                                 flit.packet});
+                        moves.push_back(Move{sub, router, chosen_in, next,
+                                             in_port, flit.packet});
                     }
                     arb_pointer_[key] =
                         (chosen_in + 1) % ports_per_router_;
                 }
             }
+            }
 
-            // 3. Commit moves (all decided on this cycle's state).
+            // 3. Commit moves (all decided on this cycle's state; subnet 0
+            //    commits first, so cross-subnet ejection ties to the same
+            //    core resolve deterministically).
             for (const Move &move : moves) {
-                auto &buffer = buffer_at(move.router, move.in_port);
+                auto &buffer =
+                    buffer_at(move.subnet, move.router, move.in_port);
                 const Flit flit = buffer.front();
                 buffer.pop_front();
                 Packet &pkt = packets[flit.packet];
@@ -213,7 +254,7 @@ class Network {
                     --in_flight;
                     --remaining;
                 } else {
-                    buffer_at(move.dest_router, move.dest_port)
+                    buffer_at(move.subnet, move.dest_router, move.dest_port)
                         .push_back(Flit{flit.packet,
                                         cycle + p_.link_delay});
                 }
@@ -242,8 +283,9 @@ class Network {
     }
 
   private:
-    std::deque<Flit> &buffer_at(int32_t router, int port) {
-        return buffers_[static_cast<size_t>(router) * ports_per_router_ +
+    std::deque<Flit> &buffer_at(int32_t subnet, int32_t router, int port) {
+        return buffers_[(static_cast<size_t>(subnet) * n_routers_ + router) *
+                            ports_per_router_ +
                         port];
     }
 

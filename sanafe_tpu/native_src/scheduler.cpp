@@ -1472,6 +1472,15 @@ int32_t sched_run_chunk_cycle(int64_t handle, int32_t T,
     params.width = L->noc_w;
     params.height = L->noc_h;
     params.cores_per_router = L->links_per_tile - 4;
+    // The reference's shipped Booksim configuration runs two physical
+    // subnetworks (scripts/booksim.config `subnets = 2`, the NanoMesh/
+    // Loihi dual-channel NoC); see cycle_noc::Params::subnets for the
+    // assignment model. Override for experiments via SANAFE_NOC_SUBNETS.
+    params.subnets = 2;
+    if (const char *env = std::getenv("SANAFE_NOC_SUBNETS")) {
+        const int v = std::atoi(env);
+        if (v >= 1) params.subnets = v;
+    }
     const double clock = params.clock_period;
     const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
 #ifdef _OPENMP
@@ -1551,7 +1560,7 @@ int32_t sched_run_timestep_trace(
 int64_t cycle_noc_run(
     int32_t width, int32_t height, int32_t cores_per_router,
     int32_t buffer_size, int32_t router_delay, int32_t link_delay,
-    int32_t n_cores, int32_t n_packets,
+    int32_t subnets, int32_t n_cores, int32_t n_packets,
     const int32_t *src_router, const int32_t *dest_router,
     const int32_t *src_core, const int32_t *dest_core,
     const int64_t *ready_cycle, const int64_t *proc_cycles,
@@ -1563,6 +1572,7 @@ int64_t cycle_noc_run(
     params.buffer_size = buffer_size;
     params.router_delay = router_delay;
     params.link_delay = link_delay;
+    params.subnets = subnets;
     std::vector<cycle_noc::Packet> packets(n_packets);
     for (int32_t i = 0; i < n_packets; ++i) {
         packets[i].src_router = src_router[i];

@@ -487,6 +487,30 @@ class DeviceProgram:
 
         layout_box: dict = {}
 
+        # Sparse delta mask wire: the fired/updated bit planes dominate the
+        # per-chunk wire (4.7 KB/step at DVS scale) on a ~19 MB/s tunnel
+        # link, but they are highly redundant — the fired plane is ~2%
+        # dense and the updated plane changes by only ~450 bits/step. Ship
+        # (a) a nonzero-BYTE presence bitmap over [fired_raw | upd_xor_delta]
+        # and (b) the nonzero byte values compacted into one shared
+        # per-chunk buffer (scatter-by-prefix-sum, ~0.1 ms/chunk on device).
+        # The host rebuilds the exact packed planes (scatter + XOR-cumsum),
+        # so every downstream consumer (native sweep, spike rows, exact
+        # energy) is byte-identical. Deltas are CHUNK-LOCAL (step 0 XORs
+        # against zeros): costs ~2 KB extra per chunk, needs no cross-chunk
+        # state. Per-chunk capacity overflow (mw_over) falls back to
+        # fetching the dense device-resident masks.
+        mask_wire = (
+            wire
+            and not device_sweep
+            and self.record_fired_axons
+            and not jax.config.jax_enable_x64
+            and os.environ.get("SANAFE_TPU_MASK_WIRE", "1") != "0"
+        )
+        # per-step value budget, shared across the chunk (mean DVS usage is
+        # ~490 B/step; see scripts/measure_mask_wire.py)
+        mw_cap = int(os.environ.get("SANAFE_TPU_MASK_WIRE_CAP", "768"))
+
         sweep_jit = None
         if device_sweep and np.asarray(
             self.compiled.axon_const_processing_latency
@@ -577,6 +601,31 @@ class DeviceProgram:
                     outputs["opt_perf"] = opt_perf
             masks_device = None
             fired_log = outputs.pop("fired_log", None)
+            if mask_wire and "masks_packed" in outputs:
+                masks_device = outputs.pop("masks_packed")
+                fired_b = masks_device[:, 0, :]
+                upd_b = masks_device[:, 1, :]
+                nb = upd_b.shape[1]
+                upd_delta = upd_b ^ jnp.concatenate(
+                    [jnp.zeros((1, nb), jnp.uint8), upd_b[:-1]], axis=0
+                )
+                enc = jnp.concatenate([fired_b, upd_delta], axis=1)
+                nz = enc != jnp.uint8(0)
+                outputs["mw_presence"] = _packbits2(nz)
+                counts = nz.sum(axis=1, dtype=jnp.int32)
+                outputs["mw_counts"] = counts
+                cap_total = chunk_len * mw_cap
+                nzf = nz.reshape(-1)
+                pos = jnp.cumsum(nzf.astype(jnp.int32)) - 1
+                vals = (
+                    jnp.zeros(cap_total, jnp.uint8)
+                    .at[jnp.where(nzf, pos, cap_total)]
+                    .set(enc.reshape(-1), mode="drop")
+                )
+                outputs["mw_values"] = vals.reshape(chunk_len, mw_cap)
+                outputs["mw_over"] = jnp.broadcast_to(
+                    counts.sum() > cap_total, (chunk_len,)
+                )
             if sweep_jit is not None:
                 masks_device = outputs.pop("masks_packed")
                 if self.record_spikes:

@@ -72,20 +72,28 @@ def main() -> None:
     # correctness cross-check first: every lane count must give the exact
     # run_chunk_packed outputs (the group sweep is bit-identical per step)
     base = None
-    for lanes in (1, 2, 4, 8):
-        os.environ["SANAFE_SWEEP_LANES"] = str(lanes)
-        out = orig(sched, masks, sync)
-        if base is None:
-            base = out
-        elif not np.array_equal(base, out):
-            print(f"MISMATCH at lanes={lanes}")
-            sys.exit(1)
-    os.environ.pop("SANAFE_SWEEP_LANES", None)
+    try:
+        for lanes in (1, 2, 4, 8):
+            os.environ["SANAFE_SWEEP_LANES"] = str(lanes)
+            out = orig(sched, masks, sync)
+            if base is None:
+                base = out
+            elif not np.array_equal(base, out):
+                print(f"MISMATCH at lanes={lanes}")
+                sys.exit(1)
+    finally:
+        os.environ.pop("SANAFE_SWEEP_LANES", None)
     print("bit-exactness: lanes 1/2/4/8 identical")
 
     results = {}
     for phase in (1, 2, 3, 4, 6, 8):
-        sched.bench_packed(masks, sync, iters=1, phase=phase)  # warm
+        warm = sched.bench_packed(masks, sync, iters=1, phase=phase)
+        if warm < 0:
+            # bench_packed returns -1.0 on chips without monotone receive
+            # times (scheduler.cpp) — timing it would report absurd rates
+            print("bench_packed unsupported on this chip "
+                  "(non-monotone receive path); cannot measure lanes")
+            sys.exit(1)
         t0 = time.perf_counter()
         sched.bench_packed(masks, sync, iters=iters, phase=phase)
         dt = time.perf_counter() - t0

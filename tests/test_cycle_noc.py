@@ -200,6 +200,84 @@ def test_added_load_never_speeds_completion(seed):
     assert last_half <= last_full
 
 
+# ---------------------------------------------------------------------------
+# subnets = 2 (booksim.config): two physical subnetwork copies; injection
+# and ejection cores stay shared. Assignment is per-source round-robin over
+# routed packets (cycle_noc::Params::subnets documents the model and the
+# remaining fork-internal uncertainty).
+# ---------------------------------------------------------------------------
+
+
+def test_subnets_single_packet_identical():
+    """An uncontended packet sees one network either way: the zero-load
+    latency formula holds for any subnet count."""
+    for subnets in (1, 2, 4):
+        last, done = run([(0, 8, 0, 35, 0, 7)], subnets=subnets)
+        assert done.tolist() == [3 * 2 + 3 + 7]
+
+
+def test_subnets_round_robin_assignment_pipelines_one_source():
+    """Two packets from one source to the same router (different dest
+    cores): the second rides subnet 1, so both trees are uncontended and
+    the only serialization left is the shared generation pipeline (one
+    injection offer per cycle). Hand-trace, router_delay=2, link_delay=1:
+    p0 injects at 0, crosses east at 2, arrives 3, ejects at 5 (starts 6);
+    p1 injects at 1 (own subnet), crosses at 3, arrives 4, ejects at 6
+    (starts 7). done = start + proc."""
+    pkts = [(0, 4, 0, 16, 0, 5), (0, 4, 0, 17, 0, 5)]
+    last1, done1 = run(pkts, subnets=1)
+    last2, done2 = run(pkts, subnets=2)
+    assert done2.tolist() == [11, 12]
+    # with one subnet the shared input buffer gives the same 1-cycle
+    # stagger here — congestion-free pipelines are subnet-insensitive
+    assert done1.tolist() == done2.tolist()
+
+
+def test_subnets_halve_congested_link_throughput():
+    """All four cores of router 0 streaming across the same east link
+    (offered load 4 flits/cycle): the link moves 1 flit/cycle/subnet, so
+    doubling subnets roughly halves the makespan once the link saturates
+    (per-source round-robin splits each source's stream evenly)."""
+    n = 40
+    pkts = [(0, 28, i % 4, 112 + (i % 4), 0, 1) for i in range(n)]
+    last1, _ = run(pkts, subnets=1, n_cores=128)
+    last2, _ = run(pkts, subnets=2, n_cores=128)
+    assert last2 < last1
+    # saturated-link bound: n flits over one link ~ n cycles; two subnets
+    # need only ~n/2 + pipeline depth
+    assert last1 >= n
+    assert last2 <= last1 - n // 4
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_subnets_random_batch_bounds(seed):
+    """Random batches under subnets=2 keep the per-packet zero-load lower
+    bound, stay deterministic call-to-call, and never finish later than
+    the single-subnet run (more physical links, same shared cores)."""
+    rng = np.random.default_rng(seed)
+    pkts = _random_batch(rng, 64)
+    last1, _ = run(pkts, subnets=1)
+    last2a, done2a = run(pkts, subnets=2)
+    last2b, done2b = run(pkts, subnets=2)
+    assert last2a == last2b and done2a.tolist() == done2b.tolist()
+    for (sr, dr, sc, dc, ready, proc), d in zip(pkts, done2a):
+        assert d >= ready + 3 * _hops(sr, dr) + 3 + proc
+    assert last2a <= last1
+
+
+def test_subnets_shared_ejection_still_serializes():
+    """Packets split across subnets but aimed at ONE destination core:
+    the core is physical, so total processing still lower-bounds the
+    makespan regardless of subnet count."""
+    rng = np.random.default_rng(3)
+    pkts = [(sr, 0, sc, 0, ready, proc)
+            for (sr, _, sc, _, ready, proc) in _random_batch(rng, 24)]
+    last, _ = run(pkts, subnets=2)
+    total_proc = sum(p[5] for p in pkts)
+    min_ready = min(p[4] for p in pkts)
+    assert last >= min_ready + 3 + total_proc
+
+
 def test_proc_cycles_monotone():
     """Growing one packet's processing time cannot shrink the makespan."""
     rng = np.random.default_rng(11)
