@@ -385,6 +385,15 @@ class SpikingChip:
         self._programs: dict[tuple, DeviceProgram] = {}
         self._scan_cache: dict[tuple, Any] = {}
         self._trace_states: dict[str, _TraceState] = {}
+        # Multi-device scale-out (sim(mesh=...)): the padded compiled view
+        # programs are built from, and which mesh the live state is placed
+        # on (None = single-device).
+        self._mesh = None
+        self._padded_compiled: Optional[CompiledChip] = None
+        self._state_mesh = None
+        # neuron count of the ACTIVE device program (padded when sharded);
+        # _process_chunk_outputs uses it to decode padded mask planes
+        self._prog_n_neurons: Optional[int] = None
 
     # --- loading -------------------------------------------------------------
     def load(self, net: SpikingNetwork, overwrite: bool = False) -> None:
@@ -504,6 +513,64 @@ class SpikingChip:
         arrays on the next sim() call; live state is preserved."""
         self._programs.clear()
         self._scan_cache.clear()
+        self._padded_compiled = None
+
+    def set_mesh(self, mesh) -> None:
+        """Shard (or unshard, ``mesh=None``) this chip over a
+        ``jax.sharding.Mesh``. Device programs rebuild on the next sim();
+        live neuron state is migrated (padded slots are inert, so the
+        round-trip single→sharded→single is lossless)."""
+        self._mesh = mesh
+        self._state_mesh = None
+        self._invalidate_programs()
+
+    def _compiled_for_programs(self) -> CompiledChip:
+        """The compiled view device programs are built from: the chip's
+        compiled arrays, padded to a device-count multiple when a mesh is
+        active (sanafe_tpu/parallel.pad_compiled; pad slots never update,
+        fire, or carry energy)."""
+        if self._mesh is None:
+            return self.compiled
+        if self._padded_compiled is None:
+            import math
+
+            from .parallel import pad_compiled
+
+            n_dev = math.prod(self._mesh.shape.values())
+            self._padded_compiled = pad_compiled(
+                self.compiled, multiple=n_dev
+            )
+        return self._padded_compiled
+
+    def _adapt_state(self, prog: DeviceProgram):
+        """Fit the live device state to the active program: grow (pad) or
+        shrink (unpad) the neuron axis, then place it on the active mesh.
+        Pad slots hold init values and are never read by real slots, so
+        both directions preserve every real neuron's state exactly."""
+        state = self._device_state
+        n_want = prog.compiled.n_neurons
+        n_have = int(np.asarray(state["potential"]).shape[0])
+        if n_have != n_want:
+            init = prog.init_state()
+            m = min(n_have, n_want)
+            new = {}
+            for key, value in init.items():
+                arr = np.asarray(value).copy()
+                if key in state:
+                    old = np.asarray(state[key])
+                    if key == "delay_ring":
+                        arr[:, :m] = old[:, :m]
+                    else:
+                        arr[:m] = old[:m]
+                new[key] = jax.numpy.asarray(arr)
+            state = new
+            self._state_mesh = None
+        if self._mesh is not None and self._state_mesh is not self._mesh:
+            from .parallel import shard_state
+
+            state = shard_state(state, self._mesh)
+            self._state_mesh = self._mesh
+        return state
 
     # --- simulation ----------------------------------------------------------
     def sim(
@@ -521,9 +588,21 @@ class SpikingChip:
         heartbeat: int = HEARTBEAT_TIMESTEPS,
         chunk: int = DEFAULT_CHUNK,
         device_sweep: Optional[bool] = None,
+        mesh: Any = None,
     ) -> dict:
+        """Run ``timesteps`` steps (src/chip.cpp:477-533 / pymodule.cpp:549).
+
+        ``mesh``: a ``jax.sharding.Mesh`` shards the simulated-neuron axis
+        of the device program across the mesh's devices (SPMD scale-out;
+        see sanafe_tpu/parallel). The mesh is sticky across sim() calls;
+        pass a different mesh or call ``set_mesh(None)`` to change it.
+        Trace outputs, counters, and the detailed host sweep are
+        byte-identical to the single-device run (padded slots are inert;
+        tests/test_parallel.py::test_sim_sharded_trace_parity)."""
         if self.compiled is None:
             raise RuntimeError("No network loaded; call load() first")
+        if mesh is not None and mesh is not self._mesh:
+            self.set_mesh(mesh)
         if timing_model not in TIMING_MODELS:
             raise ValueError(f"Timing model not recognized: {timing_model}")
         if timing_model == "cycle" and self._get_native_scheduler() is None:
@@ -605,16 +684,30 @@ class SpikingChip:
         if prog is None:
             start = time.perf_counter()
             prog = make_device_program(
-                self.compiled,
+                self._compiled_for_programs(),
                 record_fired_axons=record_fired_axons,
                 record_potentials=record_potentials,
                 record_spikes=record_spikes,
                 record_u=record_u,
             )
+            if self._mesh is not None:
+                from .parallel import shard_program
+
+                shard_program(prog, self._mesh)
             self._programs[prog_key] = prog
             self.setup_wall += time.perf_counter() - start
+        self._prog_n_neurons = prog.compiled.n_neurons
         if self._device_state is None:
             self._device_state = prog.init_state()
+            if self._mesh is not None:
+                from .parallel import shard_state
+
+                self._device_state = shard_state(
+                    self._device_state, self._mesh
+                )
+                self._state_mesh = self._mesh
+        else:
+            self._device_state = self._adapt_state(prog)
 
         remaining = timesteps
         t0 = self.total_timesteps + 1
@@ -742,6 +835,10 @@ class SpikingChip:
         which only the scan path produces."""
         if device_sweep:
             return prog.make_scan(chunk_len, wire=True, device_sweep=True)
+        if getattr(prog, "mesh", None) is not None:
+            # sharded program: the scan path is the GSPMD-partitioned one
+            # (the whole-chunk Pallas kernel is a single-core VMEM design)
+            return prog.make_scan(chunk_len, wire=True)
         if not perf_on:
             import os
 
@@ -865,7 +962,9 @@ class SpikingChip:
                 pres = np.unpackbits(
                     np.ascontiguousarray(outputs["mw_presence"]), axis=1
                 )
-                nb = (c.n_neurons + 7) // 8
+                # planes are sized by the PROGRAM's neuron count, which is
+                # padded when the chip is sharded (pad bits are zero)
+                nb = ((self._prog_n_neurons or c.n_neurons) + 7) // 8
                 pres = pres[:, : 2 * nb].astype(bool)
                 counts = np.asarray(outputs["mw_counts"])
                 vals = np.ascontiguousarray(
@@ -886,6 +985,23 @@ class SpikingChip:
             self.message_processing_wall += (
                 time.perf_counter() - fetch_start
             )
+        nb_real = (c.n_neurons + 7) // 8
+        if self._prog_n_neurons and (
+            (self._prog_n_neurons + 7) // 8 != nb_real
+        ):
+            # Sharded (padded) program: slice the mask planes back to the
+            # real neuron count. Pad slots never fire/update, so the
+            # boundary byte's pad bits are zero and the sliced bytes equal
+            # the single-device planes exactly — every consumer below
+            # (native sweep, exact energy, spike rows) stays byte-exact.
+            mp = outputs.get("masks_packed")
+            if mp is not None:
+                outputs = dict(outputs)
+                outputs["masks_packed"] = np.ascontiguousarray(
+                    np.asarray(mp)[:, :, :nb_real]
+                )
+            if masks_device is not None:
+                masks_device = masks_device[:, :, :nb_real]
         # the device sweep's outputs may ride the wire (one fetch/chunk)
         # or arrive as their own tensors (float64 named-output path)
         sim_device = outputs.get("sim_device")

@@ -109,3 +109,24 @@ def spike_steps_of(result) -> list[int]:
         for step, fired in enumerate(result["spike_trace"].data)
         if fired
     ]
+
+
+def cpu_subprocess_env(**overrides) -> dict:
+    """Environment for CPU-only test subprocesses.
+
+    Forces the CPU backend AND strips the accelerator-plugin trigger vars
+    so the interpreter's sitecustomize never loads the device PJRT plugin
+    in the child: the plugin's remote-connection threads can deadlock a
+    child process when the parent test session is already busy (observed
+    as a futex hang that blew the 900 s subprocess timeout), and a
+    CPU-only check has no reason to carry them.
+    """
+    import os
+
+    env = dict(os.environ)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_TPU_GEN",
+                "PALLAS_AXON_REMOTE_COMPILE", "JAX_ENABLE_X64"):
+        env.pop(var, None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(overrides)
+    return env

@@ -122,11 +122,12 @@ def test_mask_wire_end_to_end_parity_float32():
     with nonzero latencies (the sweep consumes the reconstructed planes,
     so an exact sim_time implies exact fired/updated reconstruction)."""
     script = _SUBPROC.format(repo=str(REPO))
-    env = dict(os.environ)
-    env.pop("JAX_ENABLE_X64", None)
+    from helpers import cpu_subprocess_env
+
     out = subprocess.run(
         [sys.executable, "-c", script],
-        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900,
+        env=cpu_subprocess_env(), cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     result = json.loads(out.stdout.strip().splitlines()[-1])

@@ -1,12 +1,13 @@
 """Netlist front-end + CLI tests (reference: src/netlist.cpp, src/main.cpp)."""
 
 import io
-import os
 import subprocess
 import sys
 from pathlib import Path
 
 import pytest
+
+from helpers import cpu_subprocess_env
 
 import sanafe_tpu as sf
 from sanafe_tpu.netlist import parse_netlist_file, write_netlist
@@ -156,7 +157,7 @@ def test_cli_bad_args():
         text=True,
         timeout=120,
         cwd=Path(__file__).resolve().parent.parent,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env=cpu_subprocess_env(),
     )
     assert result.returncode == 1
     assert "Usage" in result.stderr

@@ -211,3 +211,145 @@ def test_sharded_dvs_scale_memory_and_parity():
     sharded = np.asarray(outputs["stats"], dtype=np.float64)
     assert np.array_equal(sharded[:, :5], baseline[:, :5])
     np.testing.assert_allclose(sharded[:, 5:], baseline[:, 5:], rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# sim(mesh=...): the REAL user API sharded end-to-end (VERDICT r4 item 3).
+# The rebuild-side analog of the reference's core-parallel OpenMP loops
+# (src/chip.cpp:629-653) lifted to multi-device SPMD.
+# ---------------------------------------------------------------------------
+
+
+def _build_active_chip():
+    """A 4-layer LIF net with spike/potential logging and nonzero unit
+    latencies, busy enough that the detailed sweep has real messages."""
+    from helpers import build_arch
+
+    from sanafe_tpu.attributes import Attribute
+    from sanafe_tpu.network import NeuronConfiguration
+
+    arch = build_arch(
+        n_tiles=2, cores_per_tile=2, max_neurons=64,
+        soma_costs={
+            "energy_update_neuron": 1e-12, "latency_update_neuron": 2e-9,
+            "energy_spike_out": 3e-12, "latency_spike_out": 4e-9,
+        },
+        synapse_costs={
+            "energy_process_spike": 1e-12, "latency_process_spike": 5e-10,
+        },
+    )
+    net = sf.Network()
+    rng = np.random.default_rng(5)
+    cores = arch.cores()
+    groups = []
+    # 41/layer => 164 neurons: NOT a multiple of 8, so the sharded run
+    # must pad (to 168) and the host must slice the padded mask planes
+    for layer in range(4):
+        g = net.create_neuron_group(
+            f"layer{layer}", 41,
+            NeuronConfiguration(
+                model_attributes={
+                    "threshold": Attribute(1.0),
+                    "leak_decay": Attribute(0.9),
+                    "bias": Attribute(0.4 if layer == 0 else 0.0),
+                    "reset": Attribute(0.0),
+                },
+                log_spikes=True,
+                log_potential=layer == 1,
+            ),
+        )
+        groups.append(g)
+    for src, dst in zip(groups[:-1], groups[1:]):
+        w = rng.normal(0.0, 0.5, (len(src), len(dst))).ravel()
+        src.connect_neurons_dense(
+            dst, {"weight": [Attribute(float(x)) for x in w]}
+        )
+    for layer, g in enumerate(groups):
+        for i, neuron in enumerate(g):
+            neuron.map_to_core(cores[(layer + i) % len(cores)])
+    chip = sf.SpikingChip(arch)
+    chip.load(net)
+    return chip
+
+
+def _sim_with_traces(chip, outdir, steps=120, chunk=48, mesh=None):
+    kwargs = dict(
+        timing_model="detailed", heartbeat=0, chunk=chunk,
+        spike_trace=str(outdir / "spikes.csv"),
+        potential_trace=str(outdir / "potentials.csv"),
+        perf_trace=str(outdir / "perf.csv"),
+        message_trace=str(outdir / "messages.csv"),
+    )
+    if mesh is not None:
+        kwargs["mesh"] = mesh
+    return chip.sim(steps, **kwargs)
+
+
+def test_sim_sharded_trace_parity(tmp_path):
+    """sim(mesh=...) over the virtual 8-device mesh must reproduce the
+    single-device run BYTE-identically across the full trace surface
+    (spikes/potentials/perf/messages CSVs) and the run dict, including the
+    detailed host sweep consuming the sharded kernel's mask planes."""
+    base_dir = tmp_path / "base"
+    mesh_dir = tmp_path / "mesh"
+    base_dir.mkdir(), mesh_dir.mkdir()
+
+    chip_a = _build_active_chip()
+    ra = _sim_with_traces(chip_a, base_dir)
+
+    chip_b = _build_active_chip()
+    mesh = Mesh(np.array(jax.devices()), ("cores",))
+    rb = _sim_with_traces(chip_b, mesh_dir, mesh=mesh)
+    assert chip_b._mesh is mesh
+    assert chip_b._prog_n_neurons % 8 == 0
+    assert chip_b._prog_n_neurons > chip_a.compiled.n_neurons
+
+    assert ra["spikes"] == rb["spikes"] and ra["spikes"] > 10
+    assert ra["neurons_fired"] == rb["neurons_fired"]
+    assert ra["packets_sent"] == rb["packets_sent"]
+    assert ra["sim_time"] == rb["sim_time"]
+    for name in ("spikes.csv", "potentials.csv", "perf.csv",
+                 "messages.csv"):
+        a = (base_dir / name).read_bytes()
+        b = (mesh_dir / name).read_bytes()
+        assert a == b, f"{name} diverges between sharded and single-device"
+
+
+def test_sim_sharded_resume_checkpoint_and_unshard(tmp_path):
+    """Sticky mesh across sim() calls, sharded save_state/load_state
+    round-trip, and migrating a live chip single->sharded->single all
+    preserve the spike raster byte-for-byte."""
+    # continuous single-device run: 3 segments
+    base_dir = tmp_path / "base"
+    base_dir.mkdir()
+    chip_a = _build_active_chip()
+    with open(base_dir / "spikes.csv", "w") as stream:
+        chip_a.sim(40, timing_model="detailed", heartbeat=0, chunk=32,
+                   spike_trace=stream)
+        chip_a.sim(40, timing_model="detailed", heartbeat=0, chunk=32,
+                   spike_trace=stream, write_trace_headers=False)
+        chip_a.sim(40, timing_model="detailed", heartbeat=0, chunk=32,
+                   spike_trace=stream, write_trace_headers=False)
+
+    # sharded mid-flight: single -> mesh (state migrates + pads) -> with a
+    # checkpoint round-trip -> back to single (state unpads)
+    mesh_dir = tmp_path / "mesh"
+    mesh_dir.mkdir()
+    chip_b = _build_active_chip()
+    mesh = Mesh(np.array(jax.devices()), ("cores",))
+    with open(mesh_dir / "spikes.csv", "w") as stream:
+        chip_b.sim(40, timing_model="detailed", heartbeat=0, chunk=32,
+                   spike_trace=stream)
+        chip_b.sim(40, timing_model="detailed", heartbeat=0, chunk=32,
+                   spike_trace=stream, write_trace_headers=False,
+                   mesh=mesh)
+        ckpt = tmp_path / "state.npz"
+        chip_b.save_state(ckpt)
+        chip_b.load_state(ckpt)
+        chip_b.set_mesh(None)
+        chip_b.sim(40, timing_model="detailed", heartbeat=0, chunk=32,
+                   spike_trace=stream, write_trace_headers=False)
+
+    a = (base_dir / "spikes.csv").read_bytes()
+    b = (mesh_dir / "spikes.csv").read_bytes()
+    assert a == b and a.count(b"\n") > 10
