@@ -6,7 +6,10 @@ tests, perf). The gates here:
 
 1. unit + integration + reference-parity tests (pytest, fast set)
 2. native scheduler builds from a clean tree (g++ smoke)
-3. performance-regression gate (ci/check_perf.py, >10% drift FAILS)
+3. memory-safety gate: ASan/UBSan/LSan replay of captured ctypes
+   traffic through the native scheduler (ci/sanitize_gate.py — the
+   reference's Valgrind memcheck analog)
+4. performance-regression gate (ci/check_perf.py, >10% drift FAILS)
 
 Pass --slow to include the long acceptance runs (DVS 1000-step parity,
 loihi_large cycle tier). Logs land in ci/logs/<timestamp>/.
@@ -64,6 +67,13 @@ def main(argv: list[str] | None = None) -> int:
                 str(REPO_ROOT / "sanafe_tpu/native_src/scheduler.cpp"),
                 "-o", str(log_dir / "libsanafe_sched_ci.so"),
             ],
+        ))
+    if shutil.which("g++"):
+        # ASan/UBSan/LSan replay of captured ctypes traffic (the
+        # reference runs its C++ under Valgrind memcheck in CI)
+        gates.append((
+            "sanitize",
+            [sys.executable, str(REPO_ROOT / "ci/sanitize_gate.py")],
         ))
     if not args.skip_perf:
         gates.append(

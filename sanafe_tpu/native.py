@@ -70,11 +70,25 @@ def get_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
+    override = os.environ.get("SANAFE_NATIVE_LIB")
+    if override:
+        # CI points this at an instrumented build (ASan/UBSan gate in
+        # ci/run.py); the file must already exist — no rebuild-on-mtime.
+        if not Path(override).exists():
+            raise NativeUnavailable(f"SANAFE_NATIVE_LIB not found: {override}")
+        lib = ctypes.CDLL(override)
+        return _bind(lib)
     if not _SRC.exists():
         raise NativeUnavailable(f"missing source {_SRC}")
     if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
         _compile_library()
     lib = ctypes.CDLL(str(_LIB))
+    return _bind(lib)
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare every exported symbol's signature and cache the library."""
+    global _lib
 
     i32p = ctypes.POINTER(ctypes.c_int32)
     f64p = ctypes.POINTER(ctypes.c_double)

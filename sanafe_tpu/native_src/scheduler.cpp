@@ -1614,6 +1614,9 @@ void serial_keyed_sum_f64(const double *values, const int32_t *keys,
 int32_t sort_message_trace_order(const int64_t *mids,
                                  const uint8_t *placeholder, int32_t n,
                                  int32_t *perm) {
+    if (n <= 0) {
+        return 0;  // callers may pass null buffers for an empty trace
+    }
     std::vector<int32_t> idx(n);
     for (int32_t i = 0; i < n; ++i) idx[i] = i;
     std::sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
