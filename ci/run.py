@@ -75,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
             "sanitize",
             [sys.executable, str(REPO_ROOT / "ci/sanitize_gate.py")],
         ))
+    if args.slow:
+        # offline docs build (reference analog: Sphinx/readthedocs build;
+        # sphinx is not installable here — docs/build_offline.py renders
+        # the same sources + live autodoc introspection without it)
+        gates.append((
+            "docs",
+            [sys.executable, str(REPO_ROOT / "docs/build_offline.py"),
+             "--check"],
+        ))
     if not args.skip_perf:
         gates.append(
             ("perf", [sys.executable, str(REPO_ROOT / "ci/check_perf.py")])
