@@ -40,10 +40,14 @@ DVS_SIMPLE_BASELINE = 21.41
 EXAMPLE_BASELINE = 100000.0 / 156.49  # reference CI perf baseline
 
 REF = Path("/root/reference")
-# Per-workload subprocess budget. The whole bench (preflight + 3 workers)
+# Per-workload subprocess budgets. The whole bench (preflight + 2 workers)
 # must finish well inside the driver's kill timeout (~30 min observed in
-# round 3), so one hung worker may not eat more than this.
-WORKER_TIMEOUT = float(os.environ.get("SANAFE_BENCH_TIMEOUT", "600"))
+# round 3), so one hung worker may not eat more than this. The combined
+# DVS worker (both timing tiers, one process) gets the larger share: its
+# warmup alone — tunnel handshake + ~200 MB chip upload + compiles — was
+# measured at 140-300 s and once starved a 600 s budget entirely.
+WORKER_TIMEOUT = float(os.environ.get("SANAFE_BENCH_TIMEOUT", "480"))
+WORKER_TIMEOUT_DVS = float(os.environ.get("SANAFE_BENCH_TIMEOUT_DVS", "900"))
 
 
 def bench_example(deadline: float) -> float:
@@ -51,8 +55,8 @@ def bench_example(deadline: float) -> float:
 
     Round-4 driver evidence lost this number to a worker timeout
     (BENCH_r04 tail), so every expensive stage is deadline-aware and a
-    RESULT line is printed after each completed repetition (the parent
-    keeps the last one even if the worker is killed mid-run)."""
+    RESULT:example line is printed after each completed repetition (the
+    parent keeps the last one even if the worker is killed mid-run)."""
     import sanafe_tpu as sf
 
     arch_p = REF / "arch" / "example_chip.yaml"
@@ -77,25 +81,31 @@ def bench_example(deadline: float) -> float:
         chip.sim(steps, timing_model="detailed", heartbeat=0, chunk=chunk)
         elapsed = time.perf_counter() - t0
         best = max(best, steps / elapsed)
-        print(f"RESULT {best:.6f} {best:.6f}", flush=True)
+        print(f"RESULT:example {best:.6f} {best:.6f}", flush=True)
         if time.monotonic() + 2 * elapsed > deadline:
             break
     return best
 
 
 def bench_dvs(
-    timing_model: str,
     device_sweep: bool,
     deadline: float,
     reps: int = 3,
     steps: int = 1000,
-) -> tuple[float, float]:
+) -> None:
     """North-star workload: DVS-gesture with spike trace written to disk
     (the acceptance config is 1000 steps + spike traces). Rasters are
     unaffected by the timing tier (tests/test_device_sweep.py) and
     byte-identical to the reference (tests/test_reference_parity.py).
-    Returns (best, worst) timesteps/s across ``reps`` runs; a RESULT line
-    is printed after each rep so a mid-run kill keeps earlier reps."""
+
+    BOTH timing tiers run in this one process: the per-process fixed cost
+    over the tunneled device (client handshake ~60-140 s + the ~200 MB
+    chip upload) dominated separate workers and starved them of their
+    budget (BENCH_r05 precursor run lost the detailed tier entirely to a
+    slow-tunnel warmup). Tier results stream as
+    ``RESULT:dvs_<tier> best worst`` lines after every repetition, so a
+    mid-run kill keeps everything finished so far — detailed (the
+    headline) runs first."""
     import sanafe_tpu as sf
 
     arch = sf.load_arch(REF / "arch" / "loihi.yaml")
@@ -103,39 +113,47 @@ def bench_dvs(
     chip = sf.SpikingChip(arch)
     chip.load(net)
     chunk = int(os.environ.get("SANAFE_BENCH_DVS_CHUNK", "500"))
-    kwargs = dict(
-        timing_model=timing_model,
-        heartbeat=0,
-        chunk=chunk,
-        device_sweep=device_sweep and timing_model == "detailed",
-    )
-    rates = []
     with tempfile.TemporaryDirectory() as td:
-        # warmup: compiles every chunk length of the measured schedule
-        # (head taper + full + tail) and absorbs the tunnel's first-fetch
-        # stall
-        chip.sim(steps, spike_trace=str(Path(td) / "warm.csv"), **kwargs)
-        for i in range(reps):
-            trace = str(Path(td) / f"spikes{i}.csv")
-            t0 = time.perf_counter()
-            chip.sim(steps, spike_trace=trace, **kwargs)
-            elapsed = time.perf_counter() - t0
-            rates.append(steps / elapsed)
-            print(
-                f"RESULT {max(rates):.6f} {min(rates):.6f}", flush=True
+        for timing_model in ("detailed", "simple"):
+            kwargs = dict(
+                timing_model=timing_model,
+                heartbeat=0,
+                chunk=chunk,
+                device_sweep=device_sweep and timing_model == "detailed",
             )
-            if time.monotonic() + 2 * elapsed > deadline:
-                break
-    return max(rates), min(rates)
+            # warmup: compiles every chunk length of the measured schedule
+            # (head taper + full + tail); the first tier's warmup also
+            # absorbs the one-time handshake/upload/first-fetch stall
+            rv = chip.sim(
+                steps, spike_trace=str(Path(td) / "warm.csv"), **kwargs
+            )
+            # name the device engine measured (dag batched-time vs step
+            # scan, ops/dag_chunk.py) so perf records are attributable
+            print(f"EXTRA dvs_{timing_model}_device_engine="
+                  f"{rv.get('device_engine')}", flush=True)
+            rates = []
+            for i in range(reps):
+                trace = str(Path(td) / f"{timing_model}{i}.csv")
+                t0 = time.perf_counter()
+                chip.sim(steps, spike_trace=trace, **kwargs)
+                elapsed = time.perf_counter() - t0
+                rates.append(steps / elapsed)
+                print(
+                    f"RESULT:dvs_{timing_model} {max(rates):.6f} "
+                    f"{min(rates):.6f}", flush=True
+                )
+                if time.monotonic() + 2 * elapsed > deadline:
+                    break
 
 
 def _worker(argv: list[str]) -> None:
-    """Subprocess entry: run one workload, print its ts/s as the last line
-    (best and worst across reps — the tunnel's run-to-run variance is
-    +-20%, and 'robustly above target' means the WORST run clears it).
-    RESULT lines stream after every rep, and a soft internal deadline at
-    90% of the parent's budget stops cleanly BEFORE the hard kill, so a
-    slow tunnel day degrades to fewer reps instead of a lost workload."""
+    """Subprocess entry: run one workload group, streaming
+    ``RESULT:<tag> best worst`` lines after every repetition (best and
+    worst across reps — the tunnel's run-to-run variance is +-20%, and
+    'robustly above target' means the WORST run clears it). A soft
+    internal deadline at 90% of the parent's budget stops cleanly BEFORE
+    the hard kill, so a slow tunnel day degrades to fewer reps instead of
+    a lost workload."""
     try:
         # The tunnel proxy process contends for the single host CPU while
         # it streams a chunk's wire buffer; at equal priority it steals
@@ -144,62 +162,76 @@ def _worker(argv: list[str]) -> None:
         os.nice(-10)
     except (OSError, AttributeError):
         pass
-    deadline = time.monotonic() + 0.9 * WORKER_TIMEOUT
+    budget = WORKER_TIMEOUT_DVS if argv[0] == "dvs" else WORKER_TIMEOUT
+    deadline = time.monotonic() + 0.9 * budget
     which = argv[0]
     if which == "example":
-        best = worst = bench_example(deadline)
+        bench_example(deadline)
     else:
-        best, worst = bench_dvs(
-            argv[1], device_sweep=argv[2] == "1", deadline=deadline
-        )
-    print(f"RESULT {best:.6f} {worst:.6f}", flush=True)
+        bench_dvs(device_sweep=argv[1] == "1", deadline=deadline)
 
 
-def _parse_result(stdout) -> tuple[float, float] | None:
-    """Last RESULT line of a worker's stdout (bytes or str), if any."""
+def _parse_results(stdout) -> dict[str, tuple[float, float]]:
+    """Latest ``RESULT:<tag> best worst`` per tag from a worker's stdout
+    (bytes or str). Workers print cumulative best/worst, so the last line
+    per tag carries that workload's final answer."""
+    out: dict[str, tuple[float, float]] = {}
     if stdout is None:
-        return None
+        return out
     if isinstance(stdout, bytes):
         stdout = stdout.decode(errors="replace")
-    for line in stdout.splitlines()[::-1]:
-        if line.startswith("RESULT "):
+    for line in stdout.splitlines():
+        if line.startswith("RESULT:"):
             parts = line.split()
+            tag = parts[0][len("RESULT:"):]
             best = float(parts[1])
             worst = float(parts[2]) if len(parts) > 2 else best
-            return best, worst
-    return None
+            out[tag] = (best, worst)
+    return out
 
 
-def _run_worker(args: list[str]) -> tuple[float, float] | None:
-    """Run one workload subprocess; None on crash/timeout with no
-    partial result. Workers print a RESULT line after every completed
+def _merge_extras(stdout) -> None:
+    """Fold workers' `EXTRA key=value` lines into the bench extra dict."""
+    if stdout is None:
+        return
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
+    for line in stdout.splitlines():
+        if line.startswith("EXTRA ") and "=" in line:
+            key, value = line[len("EXTRA "):].split("=", 1)
+            _STATE["extra"][key.strip()] = value.strip()
+
+
+def _run_worker(args: list[str]) -> dict[str, tuple[float, float]]:
+    """Run one workload subprocess; {} on crash/timeout with no partial
+    result. Workers print a RESULT:<tag> line after every completed
     repetition, so even a hard timeout keeps the reps that finished
     (round-4 lost the example workload to exactly this)."""
+    budget = WORKER_TIMEOUT_DVS if args[0] == "dvs" else WORKER_TIMEOUT
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "_worker", *args],
             capture_output=True,
             text=True,
-            timeout=WORKER_TIMEOUT,
+            timeout=budget,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         stdout, stderr, rc = out.stdout, out.stderr, out.returncode
     except subprocess.TimeoutExpired as exc:
-        got = _parse_result(exc.stdout)
-        if got is not None:
-            print(
-                f"bench worker {args} timed out; keeping partial result",
-                file=sys.stderr,
-            )
-            return got
-        print(f"bench worker {args} timed out", file=sys.stderr)
-        return None
-    got = _parse_result(stdout)
-    if got is not None:
+        _merge_extras(exc.stdout)
+        got = _parse_results(exc.stdout)
+        print(
+            f"bench worker {args} timed out"
+            + ("; keeping partial results" if got else ""),
+            file=sys.stderr,
+        )
         return got
-    sys.stderr.write((stderr or "")[-2000:])
-    print(f"bench worker {args} failed (rc={rc})", file=sys.stderr)
-    return None
+    _merge_extras(stdout)
+    got = _parse_results(stdout)
+    if not got:
+        sys.stderr.write((stderr or "")[-2000:])
+        print(f"bench worker {args} failed (rc={rc})", file=sys.stderr)
+    return got
 
 
 def _device_preflight(budget_s: float) -> bool:
@@ -310,18 +342,18 @@ def main() -> None:
         # The exact host sweep is the fast detailed tier at DVS scale (the
         # on-device merge kernel is event-serial and pays per-iteration VPU
         # overhead; see ops/merge_sweep.py). Opt into benching the device
-        # tier with SANAFE_BENCH_DEVICE_SWEEP=1.
-        detailed = None
-        if os.environ.get("SANAFE_BENCH_DEVICE_SWEEP", "0") == "1":
-            detailed = _run_worker(["dvs", "detailed", "1"])
-            if detailed is not None:
-                extra["dvs_detailed_tier"] = "device_sweep"
-        if detailed is None:
-            detailed = _run_worker(["dvs", "detailed", "0"])
-            if detailed is not None:
-                extra["dvs_detailed_tier"] = "host_sweep"
-        if detailed is None:
-            detailed = (0.0, 0.0)
+        # tier with SANAFE_BENCH_DEVICE_SWEEP=1. One worker process runs
+        # BOTH timing tiers (detailed first) on one loaded chip.
+        use_dev = os.environ.get("SANAFE_BENCH_DEVICE_SWEEP", "0") == "1"
+        got = _run_worker(["dvs", "1" if use_dev else "0"])
+        if use_dev and "dvs_detailed" not in got:
+            got = _run_worker(["dvs", "0"]) or got
+            use_dev = False
+        detailed = got.get("dvs_detailed", (0.0, 0.0))
+        if "dvs_detailed" in got:
+            extra["dvs_detailed_tier"] = (
+                "device_sweep" if use_dev else "host_sweep"
+            )
         _STATE["detailed"] = detailed
         extra["dvs_detailed_ts_per_s"] = round(detailed[0], 2)
         extra["dvs_detailed_vs_baseline"] = round(
@@ -331,9 +363,7 @@ def main() -> None:
         extra["dvs_detailed_worst_vs_baseline"] = round(
             detailed[1] / DVS_DETAILED_BASELINE, 3
         )
-        _checkpoint()
-
-        simple = _run_worker(["dvs", "simple", "0"])
+        simple = got.get("dvs_simple")
         if simple:
             extra["dvs_simple_ts_per_s"] = round(simple[0], 2)
             extra["dvs_simple_worst_ts_per_s"] = round(simple[1], 2)
@@ -346,7 +376,7 @@ def main() -> None:
         _checkpoint()
 
     if which in ("all", "example") or not have_dvs:
-        example = _run_worker(["example"])
+        example = _run_worker(["example"]).get("example")
         if example:
             extra["example_detailed_ts_per_s"] = round(example[0], 2)
             extra["example_vs_baseline"] = round(

@@ -820,6 +820,10 @@ class SpikingChip:
         self.total_neurons_fired += rd.neurons_fired
 
         result = rd.to_dict()
+        # which device engine ran this sim's chunks ("pallas_chunk", "dag",
+        # or "scan") — tagged on the program when its chunk runner compiles
+        # (make_scan / _make_chunk_runner) and sticky across cached reruns
+        result["device_engine"] = getattr(prog, "engine", None)
         result["spike_trace"] = traces["spike"].memory
         result["potential_trace"] = traces["potential"].memory
         result["neuron_trace"] = traces["neuron"].memory
@@ -856,6 +860,7 @@ class SpikingChip:
                             interpret=interpret,
                         )
                         if run is not None:
+                            prog.engine = "pallas_chunk"
                             return run
                         break  # program ineligible; ts_block won't help
         return prog.make_scan(chunk_len, wire=True)

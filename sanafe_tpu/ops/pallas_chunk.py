@@ -698,16 +698,23 @@ def make_pallas_chunk(prog, chunk_len: int, ts_block: int = DEFAULT_TS,
         interpret=interpret,
     )
 
-    mat = jnp.asarray(plan.matrix)
-    const = jnp.asarray(plan.const)
-    params = jnp.asarray(plan.params)
-    sel = jnp.asarray(plan.log_sel) if plan.log_sel is not None else None
+    # Device-resident plan constants are passed as jit ARGUMENTS, never
+    # closed over: a closure constant is inlined at lowering via a
+    # device->host fetch (jax _array_mlir_constant_handler), which over a
+    # tunneled device link stalls for minutes and lost the example
+    # workload's bench evidence in rounds 4-5.
+    mat = jax.device_put(plan.matrix)
+    const = jax.device_put(plan.const)
+    params = jax.device_put(plan.params)
+    sel = (
+        jax.device_put(plan.log_sel) if plan.log_sel is not None else None
+    )
 
     nb = plan.nbytes
     sb = plan.sbytes
 
     @jax.jit
-    def run_inner(state, t0, feeds):
+    def run_inner(state, t0, feeds, mat, const, params, sel):
         t0 = jnp.asarray(t0, dtype=jnp.int64)
         state_rows = jnp.zeros((S_ROWS, npad), dtype=jnp.float32)
         state_rows = state_rows.at[S_V, :n].set(
@@ -792,7 +799,9 @@ def make_pallas_chunk(prog, chunk_len: int, ts_block: int = DEFAULT_TS,
     layout = _packed_layout(plan, chunk_len)
 
     def run(state, t0, feeds=None):
-        new_state, packed = run_inner(state, t0, feeds or {})
+        new_state, packed = run_inner(
+            state, t0, feeds or {}, mat, const, params, sel
+        )
         return new_state, {"packed": packed, "packed_layout": layout}
 
     return run

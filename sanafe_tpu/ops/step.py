@@ -563,6 +563,10 @@ class DeviceProgram:
         dag_plan = plan_dag(self)
         if dag_plan is not None:
             dag_body = make_dag_body(self, dag_plan, chunk_len)
+        # introspection: which device engine this program compiled to
+        # (surfaced as result["device_engine"] by SpikingChip.sim and
+        # recorded by bench.py so perf artifacts name the engine measured)
+        self.engine = "dag" if dag_body is not None else "scan"
         # scan path, fused-rollup programs: emit planes from the scan and
         # run ONE batched roll-up after it (bit-identical to the DAG
         # engine's; reads the [2N, K] matrix once per chunk, not per step)

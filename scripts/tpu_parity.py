@@ -46,7 +46,9 @@ CONFIGS = [
     ("cfg_stochastic", "FIXTURES:fixtures/arch_stoch.yaml",
      "FIXTURES:fixtures/snn_stoch.yaml", False, 100, "cfg_stochastic",
      100),
-    ("dvs100", "arch/loihi.yaml", "snn/dvs.yaml", False, 100,
+    # full acceptance workload: 1000 steps pins the raster byte-exactly
+    # end-to-end and makes the run_summary totals directly comparable
+    ("dvs1000", "arch/loihi.yaml", "snn/dvs.yaml", False, 1000,
      "cfg3_dvs", 1000),
 ]
 

@@ -148,6 +148,7 @@ def test_dag_engages_on_feedforward_net(f32):
     topological levels) is DAG-eligible on the float32 fused-rollup path."""
     raster, _, prog = _run("1")
     assert prog.conv_delivery is not None and prog.fused_rollup
+    assert prog.engine == "dag"  # surfaced as result["device_engine"]
     plan = plan_dag(prog)
     assert plan is not None
     assert len(plan.levels) == 3  # in -> hid -> out

@@ -54,7 +54,7 @@ def test_committed_artifact_is_passing():
     assert results["backend"] == "tpu"
     assert results["pass"]
     host = [c for c in results["configs"] if c.get("tier") == "host_sweep"]
-    assert {c["config"] for c in host} >= {"cfg1", "cfg2_conv", "dvs100"}
+    assert {c["config"] for c in host} >= {"cfg1", "cfg2_conv", "dvs1000"}
     assert all(c["raster_byte_identical"] for c in host)
     # the device-sweep tier's measured on-hardware deviation band
     for c in results["configs"]:
