@@ -119,6 +119,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
         ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
     ]
+    lib.sched_sweep_profile.restype = ctypes.c_int32
+    lib.sched_sweep_profile.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
+        ctypes.c_double, ctypes.c_int32, f64p,
+    ]
     lib.sched_run_chunk_cycle.restype = ctypes.c_int32
     lib.sched_run_chunk_cycle.argtypes = [
         ctypes.c_int64, ctypes.c_int32, u8p, ctypes.c_int32,
@@ -403,6 +408,35 @@ class NativeScheduler:
             np.int32(mask_bytes), float(sync_delay), np.int32(iters),
             np.int32(phase),
         ))
+
+    def sweep_profile(
+        self,
+        masks_packed: np.ndarray,
+        sync_delay: float,
+        iters: int = 1,
+    ) -> Optional[dict]:
+        """Section-level rdtsc profile of the lite event sweep (the
+        kProf=true template instantiation — bit-identical float64 path,
+        extra counter instructions). Returns cycles per section plus event
+        counts, or None when the chip lacks the lite fast path. Profiling
+        tool only; never on the simulation path."""
+        masks_packed = np.ascontiguousarray(masks_packed, dtype=np.uint8)
+        T, planes, mask_bytes = masks_packed.shape
+        assert planes == 2
+        out = np.zeros(12, dtype=np.float64)
+        rc = self._lib.sched_sweep_profile(
+            self._handle, np.int32(T), _ptr(masks_packed, ctypes.c_uint8),
+            np.int32(mask_bytes), float(sync_delay), np.int32(iters),
+            _ptr(out, ctypes.c_double),
+        )
+        if rc != 0:
+            return None
+        return {
+            "pop_cycles": out[0], "retire_cycles": out[1],
+            "send_cycles": out[2], "push_cycles": out[3],
+            "events": out[4], "retire_calls": out[5], "drains": out[6],
+            "checksum": out[7],
+        }
 
     def run_chunk_cycle(
         self,

@@ -640,7 +640,26 @@ void build_messages_lite(const ChipLayout &L, const uint8_t *fired_bits,
 // loop (sweep_timestep_lite_group below): each sweep is a long serial
 // dependence chain stalling on data-dependent L2 loads, and the
 // out-of-order core overlaps the chains' stalls.
-struct LiteSweep {
+
+// Section cycle counters for the profiled sweep instantiation
+// (sched_sweep_profile). kProf=false compiles them out entirely — the
+// production sweep binary is unchanged.
+struct SweepProfCounters {
+    uint64_t pop = 0, retire = 0, send = 0, push = 0;
+    uint64_t events = 0, retire_calls = 0, drains = 0;
+    void reset() { *this = SweepProfCounters{}; }
+};
+inline SweepProfCounters g_sweep_prof;
+
+#if defined(__x86_64__)
+#include <x86intrin.h>
+inline uint64_t prof_tsc() { return __rdtsc(); }
+#else
+inline uint64_t prof_tsc() { return 0; }
+#endif
+
+template <bool kProf = false>
+struct LiteSweepT {
     const ChipLayout &L;
     SweepScratch &s;
     double mean = 0.0;
@@ -650,7 +669,7 @@ struct LiteSweep {
 
     static constexpr double kInf = std::numeric_limits<double>::infinity();
 
-    LiteSweep(const ChipLayout &chip, SweepScratch &scratch)
+    LiteSweepT(const ChipLayout &chip, SweepScratch &scratch)
         : L(chip), s(scratch) {}
 
     inline void push_next(int core, double base) {
@@ -707,6 +726,7 @@ struct LiteSweep {
         int32_t &head = s.fleet_head[core];
         const int32_t size = static_cast<int32_t>(fleet.size());
         while (head < size && sent_ts >= fleet[head].recv) {
+            if (kProf) g_sweep_prof.drains += 1;
             const FleetLite &fe = fleet[head];
             const double radj = -L.adj_by_cap[fe.cap_hops];
             const int32_t *lp = &L.route_links[fe.route_off];
@@ -782,6 +802,11 @@ struct LiteSweep {
     }
 
     inline void advance() {
+        uint64_t t0 = 0;
+        if (kProf) {
+            t0 = prof_tsc();
+            g_sweep_prof.events += 1;
+        }
         const LiteEntry e = lite_heap_pop(s.heap);
         if (!s.heap.empty()) {
             // the likely-next message; hides its load latency behind the
@@ -790,8 +815,21 @@ struct LiteSweep {
         }
         double sent_ts = e.key;
         if (sent_ts > last_ts) last_ts = sent_ts;
+        if (kProf) {
+            const uint64_t t1 = prof_tsc();
+            g_sweep_prof.pop += t1 - t0;
+            t0 = t1;
+        }
 
-        if (sent_ts >= retire_lb) retire(sent_ts);
+        if (sent_ts >= retire_lb) {
+            if (kProf) g_sweep_prof.retire_calls += 1;
+            retire(sent_ts);
+        }
+        if (kProf) {
+            const uint64_t t1 = prof_tsc();
+            g_sweep_prof.retire += t1 - t0;
+            t0 = t1;
+        }
 
         const MsgLite &m = s.msgs[e.idx];
         if (m.dest >= 0) {
@@ -830,12 +868,20 @@ struct LiteSweep {
                 if (recv < retire_lb) retire_lb = recv;
             }
         }
+        if (kProf) {
+            const uint64_t t1 = prof_tsc();
+            g_sweep_prof.send += t1 - t0;
+            t0 = t1;
+        }
 
         if (s.heads[e.core] < s.core_begin[e.core + 1]) {
             push_next(e.core, sent_ts);
         }
+        if (kProf) g_sweep_prof.push += prof_tsc() - t0;
     }
 };
+
+using LiteSweep = LiteSweepT<false>;
 
 double sweep_timestep_lite(const ChipLayout &L, SweepScratch &s) {
     LiteSweep sweep(L, s);
@@ -1448,6 +1494,55 @@ double sched_bench_packed(int64_t handle, int32_t T, const uint8_t *masks,
         }
     }
     return acc;
+}
+
+// Section-level profile of the lite event sweep (rdtsc cycles). Runs the
+// kProf=true instantiation — identical float64 semantics, extra counter
+// instructions — and fills out[12] with:
+//   [0..3]  cycles in heap-pop / retire / send / push-next
+//   [4..6]  event count, retire() calls, drained (retired) messages
+//   [7]     checksum (sum of per-step sweep results, anti-DCE)
+// Profiling tool only; never on the simulation path.
+extern "C" int32_t sched_sweep_profile(int64_t handle, int32_t T,
+                                       const uint8_t *masks,
+                                       int32_t mask_bytes,
+                                       double sync_delay, int32_t iters,
+                                       double *out) {
+    ChipLayout *L;
+    {
+        std::lock_guard<std::mutex> lock(g_chips_mutex);
+        if (handle < 0 || handle >= static_cast<int64_t>(g_chips.size()) ||
+            g_chips[handle] == nullptr) {
+            return -1;
+        }
+        L = g_chips[handle];
+    }
+    if (!L->monotone_recv || !L->lite_fields_ok) return -1;
+    const size_t step_stride = 2 * static_cast<size_t>(mask_bytes);
+    g_sweep_prof.reset();
+    double acc = 0.0;
+    SweepScratch scratch;
+    for (int32_t it = 0; it < iters; ++it) {
+        for (int32_t t = 0; t < T; ++t) {
+            const uint8_t *fired = masks + t * step_stride;
+            scratch.init(*L);
+            build_messages_lite(*L, fired, fired + mask_bytes, scratch);
+            LiteSweepT<true> sweep(*L, scratch);
+            sweep.start();
+            while (sweep.live()) sweep.advance();
+            acc += sweep.last_ts + sync_delay;
+        }
+    }
+    out[0] = static_cast<double>(g_sweep_prof.pop);
+    out[1] = static_cast<double>(g_sweep_prof.retire);
+    out[2] = static_cast<double>(g_sweep_prof.send);
+    out[3] = static_cast<double>(g_sweep_prof.push);
+    out[4] = static_cast<double>(g_sweep_prof.events);
+    out[5] = static_cast<double>(g_sweep_prof.retire_calls);
+    out[6] = static_cast<double>(g_sweep_prof.drains);
+    out[7] = acc;
+    for (int i = 8; i < 12; ++i) out[i] = 0.0;
+    return 0;
 }
 
 // Cycle-accurate chunk runner: same inputs as sched_run_chunk_packed, but

@@ -61,6 +61,20 @@ def main() -> None:
         per_msg = dt / (iters * n_msgs) * 1e9
         print(f"{label:>12}: {per_step:7.4f} ms/step  {per_msg:6.1f} ns/msg")
 
+    prof = sched.sweep_profile(masks, sync, iters=iters)
+    if prof is None:
+        print("sweep_profile unavailable")
+        return
+    total = sum(prof[k] for k in
+                ("pop_cycles", "retire_cycles", "send_cycles", "push_cycles"))
+    ev = prof["events"]
+    print(f"\nsection profile ({ev:.0f} events, "
+          f"{prof['retire_calls']:.0f} retire calls, "
+          f"{prof['drains']:.0f} drains):")
+    for k in ("pop_cycles", "retire_cycles", "send_cycles", "push_cycles"):
+        c = prof[k]
+        print(f"{k:>14}: {c / ev:7.1f} cyc/event  {c / total * 100:5.1f}%")
+
 
 if __name__ == "__main__":
     main()
